@@ -1,0 +1,245 @@
+"""EnCodec-style GAN codec: normalize -> encode -> RVQ -> decode -> overlap-add.
+
+Behavioral reference: funcodec/models/codec_basic.py (Encodec :119-839,
+_linear_overlap_add :77-116, _encode/_encode_frame :334-380,
+_decode/_decode_frame :382-408, inference modes :670-836).
+
+Waveforms are (B, T) mono (input_size=1 in every shipped config); latents are
+(B, T', D). Segmentation offsets are static Python ints, so each distinct
+input length compiles once; shipped configs use segment_dur=None (one frame).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from funcodec_tpu.models.quantizer import Quantizer, QuantizerConfig
+from funcodec_tpu.models.seanet import SEANetConfig, SEANetDecoder, SEANetEncoder
+from funcodec_tpu.quant.rvq import RVQState
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodecConfig:
+    """Model-level knobs (codec_basic.py:125-151)."""
+
+    input_size: int = 1
+    odim: int = 128
+    target_sample_hz: int = 16_000
+    audio_normalize: bool = True
+    segment_dur: Optional[float] = None
+    overlap_ratio: Optional[float] = 0.01
+    # loss weights (used by the training step)
+    recon_loss_weight: float = 1.0
+    multi_spectral_recon_loss_weight: float = 1.0
+    adversarial_loss_weight: float = 1.0 / 9
+    feat_match_loss_weight: float = 100.0 / 9
+    enc_quant_loss_weight: float = 1.0
+    multi_spectral_window_powers_of_two: Tuple[int, ...] = (5, 6, 7, 8, 9, 10)
+    multi_spectral_n_mels: int = 64
+    use_power_spec_loss: bool = False
+    bypass_quantizer: bool = False
+    codec_domain: str = "time"
+
+    @property
+    def segment_length(self) -> Optional[int]:
+        if self.segment_dur is None:
+            return None
+        return int(self.segment_dur * self.target_sample_hz)
+
+    @property
+    def segment_stride(self) -> Optional[int]:
+        sl = self.segment_length
+        if sl is None:
+            return None
+        return max(1, int((1 - (self.overlap_ratio or 0.0)) * sl))
+
+
+def linear_overlap_add(frames: List[jnp.ndarray], stride: int) -> jnp.ndarray:
+    """Triangular-window overlap-add (codec_basic.py:77-116). frames: [(B, L)]."""
+    assert frames
+    dtype = frames[0].dtype
+    shape = frames[0].shape[:-1]
+    total_size = stride * (len(frames) - 1) + frames[-1].shape[-1]
+    frame_length = frames[0].shape[-1]
+    t = jnp.linspace(0.0, 1.0, frame_length + 2, dtype=dtype)[1:-1]
+    weight = 0.5 - jnp.abs(t - 0.5)
+
+    sum_weight = jnp.zeros((total_size,), dtype)
+    out = jnp.zeros(shape + (total_size,), dtype)
+    offset = 0
+    for frame in frames:
+        fl = frame.shape[-1]
+        out = out.at[..., offset : offset + fl].add(weight[:fl] * frame)
+        sum_weight = sum_weight.at[offset : offset + fl].add(weight[:fl])
+        offset += stride
+    return out / sum_weight
+
+
+class Encodec:
+    """Functional EnCodec assembly. Params pytree: {encoder, quantizer, decoder}."""
+
+    def __init__(
+        self,
+        cfg: EncodecConfig,
+        encoder: SEANetEncoder,
+        quantizer: Quantizer,
+        decoder: SEANetDecoder,
+    ):
+        self.cfg = cfg
+        self.encoder = encoder
+        self.quantizer = quantizer
+        self.decoder = decoder
+        self.sample_rate = cfg.target_sample_hz
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, key) -> Tuple[Dict[str, Any], RVQState]:
+        k_enc, k_q, k_dec = jax.random.split(key, 3)
+        q_params, rvq_state = self.quantizer.init(k_q)
+        params = {
+            "encoder": self.encoder.init(k_enc),
+            "quantizer": q_params,
+            "decoder": self.decoder.init(k_dec),
+        }
+        return params, rvq_state
+
+    # -- encode / decode ------------------------------------------------------
+
+    def _segments(self, length: int) -> List[Tuple[int, int]]:
+        """Static (offset, end) list (codec_basic.py:344-359)."""
+        seg = self.cfg.segment_length
+        if seg is None:
+            return [(0, length)]
+        stride = self.cfg.segment_stride or 1
+        return [(off, min(off + seg, length)) for off in range(0, length, stride)]
+
+    def _encode_frame(self, params, x: jnp.ndarray, precision=None):
+        """(B, T) -> (emb (B, T', D), scale (B, 1) or None). codec_basic.py:361-380."""
+        if self.cfg.audio_normalize:
+            volume = jnp.sqrt(jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+            scale = 1e-8 + volume  # (B, 1)
+            x = x / scale.astype(x.dtype)
+        else:
+            scale = None
+        emb = self.encoder(params["encoder"], x, precision=precision)
+        return emb, scale
+
+    def _encode(self, params, x: jnp.ndarray, precision=None):
+        return [
+            self._encode_frame(params, x[:, off:end], precision=precision)
+            for off, end in self._segments(x.shape[-1])
+        ]
+
+    def _decode_frame(self, params, emb: jnp.ndarray, scale, precision=None):
+        """(B, T', D) -> (B, T). codec_basic.py:398-408."""
+        out = self.decoder(params["decoder"], emb, precision=precision)
+        out = out[..., 0]  # (B, T, 1) -> (B, T)
+        if scale is not None:
+            out = out * scale.astype(out.dtype)
+        return out
+
+    def _decode(self, params, frames, precision=None):
+        decoded = [
+            self._decode_frame(params, emb, scale, precision=precision)
+            for emb, scale in frames
+        ]
+        if self.cfg.segment_length is None:
+            assert len(decoded) == 1
+            return decoded[0]
+        return linear_overlap_add(decoded, self.cfg.segment_stride or 1)
+
+    # -- inference modes (codec_basic.py:670-836) ----------------------------
+
+    def inference(
+        self,
+        params,
+        rvq_state: RVQState,
+        speech: jnp.ndarray,  # (B, T)
+        need_recon: bool = True,
+        bit_width: Optional[int] = None,
+        use_scale: bool = True,
+        precision=None,
+    ) -> Dict[str, Any]:
+        """Full encode->quantize->decode (codec_basic.py:670-718)."""
+        codes, code_idxs, all_sub_quants = [], [], []
+        frames = self._encode(params, speech, precision=precision)
+        for emb, scale in frames:
+            if self.cfg.bypass_quantizer:
+                code_embs, indices, sub_quants = emb, None, None
+            else:
+                code_embs, indices, sub_quants = self.quantizer.inference(
+                    params["quantizer"], rvq_state, emb, bandwidth=bit_width
+                )
+            codes.append((code_embs, scale if use_scale else None))
+            code_idxs.append(indices)
+            all_sub_quants.append(sub_quants)
+        recon = None
+        if need_recon:
+            recon = self._decode(params, codes, precision=precision)[
+                ..., : speech.shape[-1]
+            ]
+        return dict(
+            recon_speech=recon,
+            code_indices=code_idxs,
+            code_embeddings=codes,
+            sub_quants=all_sub_quants,
+        )
+
+    def inference_encoding(
+        self,
+        params,
+        rvq_state: RVQState,
+        speech: jnp.ndarray,
+        need_recon: bool = False,
+        bit_width: Optional[int] = None,
+        use_scale: bool = True,
+        precision=None,
+    ) -> Dict[str, Any]:
+        """Encode to token ids (codec_basic.py:720-764). Uses the greedy
+        encode path (identical tokens to inference; skips sub-quant embs)."""
+        codes, code_idxs = [], []
+        frames = self._encode(params, speech, precision=precision)
+        for emb, scale in frames:
+            indices = self.quantizer.encode(
+                params["quantizer"], rvq_state, emb, bandwidth=bit_width
+            )
+            code_idxs.append(indices)
+            if need_recon:
+                quantized = self.quantizer.decode(
+                    params["quantizer"], rvq_state, indices
+                )
+                codes.append((quantized, scale if use_scale else None))
+        recon = None
+        if need_recon:
+            recon = self._decode(params, codes, precision=precision)[
+                ..., : speech.shape[-1]
+            ]
+        return dict(recon_speech=recon, code_indices=code_idxs, code_embeddings=codes)
+
+    def inference_decoding(
+        self,
+        params,
+        rvq_state: RVQState,
+        token_idx: jnp.ndarray,  # (B, T, n_q)
+        need_recon: bool = True,
+        precision=None,
+    ) -> Dict[str, Any]:
+        """Token ids -> waveform (codec_basic.py:766-802); no scale at decode."""
+        tokens = jnp.transpose(token_idx, (2, 0, 1))  # (n_q, B, T)
+        code_embs = self.quantizer.decode(params["quantizer"], rvq_state, tokens)
+        codes = [(code_embs, None)]
+        recon = None
+        if need_recon:
+            recon = self._decode(params, codes, precision=precision)
+        return dict(recon_speech=recon, code_indices=None, code_embeddings=codes)
+
+    def inference_decoding_emb(
+        self, params, rvq_state: RVQState, emb: jnp.ndarray, precision=None
+    ) -> Dict[str, Any]:
+        """Dense code embeddings (B, T, D) -> waveform (codec_basic.py:804-836)."""
+        recon = self._decode(params, [(emb, None)], precision=precision)
+        return dict(recon_speech=recon, code_indices=None, code_embeddings=[(emb, None)])

@@ -1,0 +1,153 @@
+"""Task-facing quantizer wrapper around the RVQ core.
+
+Behavioral reference: funcodec/models/quantizer/costume_quantizer.py:6-122
+(optional in/out projection, tanh range clamp, bandwidth -> n_q) and
+funcodec/modules/quantization/vq.py:86-132.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from funcodec_tpu.quant.rvq import (
+    RVQConfig,
+    RVQState,
+    init_rvq_state,
+    rvq_decode,
+    rvq_encode,
+    rvq_inference,
+    rvq_train_forward,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizerConfig:
+    """Mirrors CostumeQuantizer kwargs (costume_quantizer.py:7-22)."""
+
+    input_size: int = 128
+    codebook_size: int = 1024
+    num_quantizers: int = 32
+    ema_decay: float = 0.99
+    kmeans_init: bool = True
+    sampling_rate: int = 16_000
+    quantize_dropout: bool = False
+    rand_num_quant: Optional[Tuple[int, ...]] = None
+    encoder_hop_length: int = 320
+    q0_ds_ratio: int = 1
+    codec_dim: Optional[int] = None
+    codec_range: Optional[float] = None
+    expiry_mode: str = "reference"
+
+    @property
+    def effective_dim(self) -> int:
+        return self.codec_dim if self.codec_dim is not None else self.input_size
+
+    def rvq(self) -> RVQConfig:
+        return RVQConfig(
+            dim=self.effective_dim,
+            codebook_size=self.codebook_size,
+            num_quantizers=self.num_quantizers,
+            decay=self.ema_decay,
+            kmeans_init=self.kmeans_init,
+            quantize_dropout=self.quantize_dropout,
+            rand_num_quant=tuple(self.rand_num_quant) if self.rand_num_quant else None,
+            q0_ds_ratio=self.q0_ds_ratio,
+            sampling_rate=self.sampling_rate,
+            encoder_hop_length=self.encoder_hop_length,
+            expiry_mode=self.expiry_mode,
+        )
+
+
+class Quantizer:
+    """Functional quantizer: params (projections) + RVQState (codebooks)."""
+
+    def __init__(self, cfg: QuantizerConfig):
+        self.cfg = cfg
+        self.rvq_cfg = cfg.rvq()
+        if cfg.q0_ds_ratio > 1:
+            raise NotImplementedError(
+                "q0_ds_ratio > 1 (time-interpolated q0) not yet supported"
+            )
+
+    # -- state/params ------------------------------------------------------
+
+    def init(self, key) -> Tuple[Dict[str, Any], RVQState]:
+        params: Dict[str, Any] = {}
+        cfg = self.cfg
+        if cfg.codec_dim is not None and cfg.codec_dim != cfg.input_size:
+            k1, k2, key = jax.random.split(key, 3)
+            bound_in = 1.0 / math.sqrt(cfg.input_size)
+            bound_out = 1.0 / math.sqrt(cfg.codec_dim)
+            params["input_proj"] = {
+                "kernel": jax.random.uniform(
+                    k1, (cfg.input_size, cfg.codec_dim), minval=-bound_in, maxval=bound_in
+                ),
+                "bias": jnp.zeros((cfg.codec_dim,)),
+            }
+            params["output_proj"] = {
+                "kernel": jax.random.uniform(
+                    k2, (cfg.codec_dim, cfg.input_size), minval=-bound_out, maxval=bound_out
+                ),
+                "bias": jnp.zeros((cfg.input_size,)),
+            }
+        state = init_rvq_state(self.rvq_cfg, key if not self.rvq_cfg.kmeans_init else None)
+        return params, state
+
+    # -- helpers -----------------------------------------------------------
+
+    def _pre(self, params, x):
+        if "input_proj" in params:
+            p = params["input_proj"]
+            x = x @ p["kernel"] + p["bias"]
+        if self.cfg.codec_range is not None:
+            x = jnp.tanh(x) * self.cfg.codec_range
+        return x
+
+    def _post(self, params, x):
+        if "output_proj" in params:
+            p = params["output_proj"]
+            x = x @ p["kernel"] + p["bias"]
+        return x
+
+    def n_q_for_bandwidth(self, bandwidth: Optional[float]) -> int:
+        return self.rvq_cfg.num_quantizers_for_bandwidth(bandwidth)
+
+    # -- forward modes (all take/return (B, T, C)) --------------------------
+
+    def train_forward(self, params, state: RVQState, x, key, bandwidth=None):
+        """Returns (quantized, indices (n_q,B,T), commit_loss scalar, sub_quants, new_state).
+
+        commit_loss = mean over all n_q layer losses, dropped layers counting 0
+        (vq.py:99-103: penalty = mean(commit_loss)).
+        """
+        n_q = self.n_q_for_bandwidth(bandwidth)
+        x = self._pre(params, x)
+        quantized, indices, commits, sub_quants, new_state = rvq_train_forward(
+            self.rvq_cfg, state, x, key, n_q=n_q
+        )
+        quantized = self._post(params, quantized)
+        return quantized, indices, jnp.mean(commits), sub_quants, new_state
+
+    def inference(self, params, state: RVQState, x, bandwidth=None):
+        """Eval forward (costume_quantizer.py:77-96)."""
+        n_q = self.n_q_for_bandwidth(bandwidth)
+        x = self._pre(params, x)
+        quantized, indices, sub_quants = rvq_inference(self.rvq_cfg, state, x, n_q=n_q)
+        quantized = self._post(params, quantized)
+        return quantized, indices, sub_quants
+
+    def encode(self, params, state: RVQState, x, bandwidth=None):
+        """(B,T,C) -> indices (n_q, B, T) (costume_quantizer.py:98-112)."""
+        n_q = self.n_q_for_bandwidth(bandwidth)
+        x = self._pre(params, x)
+        return rvq_encode(self.rvq_cfg, state, x, n_q=n_q)
+
+    def decode(self, params, state: RVQState, indices):
+        """indices (n_q', B, T) -> (B, T, C) (costume_quantizer.py:114-119)."""
+        out = rvq_decode(self.rvq_cfg, state, indices)
+        return self._post(params, out)

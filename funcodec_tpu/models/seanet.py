@@ -1,0 +1,365 @@
+"""SEANet encoder/decoder stacks (1D time-domain and 2D freq-domain).
+
+Ground-up JAX rebuild of the EnCodec SEANet topology. Behavioral reference:
+funcodec/models/encoder/seanet_encoder.py (SEANetEncoder :66-185,
+SEANetResnetBlock :16-61, SEANetEncoder2d :252-363) and
+funcodec/models/decoder/seanet_decoder.py (SEANetDecoder :62-180,
+SEANetDecoder2d :244-360).
+
+Everything is channels-last: 1D activations are (B, T, C), 2D are
+(B, F, T, C). The public encoder contract is waveform (B, T) -> (B, T', D);
+the decoder is (B, T', D) -> (B, T, out_channels).
+
+The layer stack is represented as a flat list of (kind, spec) descriptors in
+the exact order of the reference's nn.Sequential, which makes the torch
+checkpoint importer a positional walk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from funcodec_tpu.ops import activations as act_ops
+from funcodec_tpu.ops.conv import ConvSpec, apply_conv, init_conv
+from funcodec_tpu.ops.rnn import apply_slstm, init_lstm
+
+Layer = Tuple[str, Any]  # kind in {conv, act, snake, lstm, resblock, squeeze, unsqueeze}
+
+
+@dataclasses.dataclass(frozen=True)
+class SEANetConfig:
+    """Shared config for SEANet encoder/decoder (1D).
+
+    Field semantics mirror seanet_encoder.py:91-97 / seanet_decoder.py:89-96.
+    `ratios` are given decoder-order (coarse->fine), e.g. [8, 5, 4, 2];
+    the encoder applies them reversed.
+    """
+
+    input_size: int = 1  # audio channels (encoder in / decoder out)
+    dimension: int = 128  # latent dim
+    n_filters: int = 32
+    n_residual_layers: int = 1
+    ratios: Tuple[int, ...] = (8, 5, 4, 2)
+    activation: str = "ELU"
+    activation_params: Tuple[Tuple[str, Any], ...] = (("alpha", 1.0),)
+    norm: str = "weight_norm"
+    kernel_size: int = 7
+    last_kernel_size: int = 7
+    residual_kernel_size: int = 3
+    dilation_base: int = 2
+    causal: bool = False
+    pad_mode: str = "reflect"
+    true_skip: bool = False
+    compress: int = 2
+    seq_model: str = "lstm"  # lstm | transformer | none
+    seq_layer_num: int = 2
+    res_seq: bool = True
+    double_filters: bool = True  # encoder: double channels per stage
+    half_filters: bool = True  # decoder: halve channels per stage
+    add_snake_activation: bool = False
+    trim_right_ratio: float = 1.0  # decoder transposed convs
+    final_activation: Optional[str] = None
+
+    @property
+    def act_kwargs(self) -> Dict[str, Any]:
+        return dict(self.activation_params)
+
+    @property
+    def hop_length(self) -> int:
+        return int(np.prod(self.ratios))
+
+
+def _act_layer(cfg: SEANetConfig, channels: int, name: Optional[str] = None) -> Layer:
+    name = name or cfg.activation
+    if name.lower() == "snake":
+        return ("snake", channels)
+    return ("act", (name, cfg.act_kwargs))
+
+
+def _resblock_layers(
+    cfg: SEANetConfig, dim: int, dilation: int
+) -> Layer:
+    """SEANetResnetBlock: [act, conv(k,dil), act, conv(1)] + shortcut.
+
+    Reference: seanet_encoder.py:16-61 (kernel_sizes=[k,1], dilations=[d,1],
+    hidden = dim // compress, shortcut = 1x1 conv unless true_skip).
+    """
+    hidden = dim // cfg.compress
+    block: List[Layer] = []
+    io = [(dim, hidden, cfg.residual_kernel_size, dilation), (hidden, dim, 1, 1)]
+    for in_chs, out_chs, k, d in io:
+        block.append(_act_layer(cfg, in_chs))
+        block.append(
+            (
+                "conv",
+                ConvSpec(
+                    in_chs,
+                    out_chs,
+                    k,
+                    dilation=d,
+                    causal=cfg.causal,
+                    norm=cfg.norm,
+                    pad_mode=cfg.pad_mode,
+                ),
+            )
+        )
+    shortcut = (
+        None
+        if cfg.true_skip
+        else ConvSpec(
+            dim, dim, 1, causal=cfg.causal, norm=cfg.norm, pad_mode=cfg.pad_mode
+        )
+    )
+    return ("resblock", (tuple(block), shortcut))
+
+
+def build_encoder_layers(cfg: SEANetConfig) -> List[Layer]:
+    """Flat layer list for SEANetEncoder (seanet_encoder.py:107-162)."""
+    layers: List[Layer] = []
+    ratios = list(reversed(cfg.ratios))
+    mult = 1
+    layers.append(
+        (
+            "conv",
+            ConvSpec(
+                cfg.input_size,
+                mult * cfg.n_filters,
+                cfg.kernel_size,
+                causal=cfg.causal,
+                norm=cfg.norm,
+                pad_mode=cfg.pad_mode,
+            ),
+        )
+    )
+    if cfg.add_snake_activation:
+        layers.append(_act_layer(cfg, mult * cfg.n_filters, "snake"))
+        layers.append(
+            (
+                "conv",
+                ConvSpec(
+                    mult * cfg.n_filters,
+                    mult * cfg.n_filters,
+                    cfg.kernel_size,
+                    causal=cfg.causal,
+                    norm=cfg.norm,
+                    pad_mode=cfg.pad_mode,
+                ),
+            )
+        )
+    for ratio in ratios:
+        for j in range(cfg.n_residual_layers):
+            layers.append(
+                _resblock_layers(cfg, mult * cfg.n_filters, cfg.dilation_base**j)
+            )
+        layers.append(_act_layer(cfg, mult * cfg.n_filters))
+        out_ch = mult * cfg.n_filters * (2 if cfg.double_filters else 1)
+        layers.append(
+            (
+                "conv",
+                ConvSpec(
+                    mult * cfg.n_filters,
+                    out_ch,
+                    kernel_size=ratio * 2,
+                    stride=ratio,
+                    causal=cfg.causal,
+                    norm=cfg.norm,
+                    pad_mode=cfg.pad_mode,
+                ),
+            )
+        )
+        if cfg.double_filters:
+            mult *= 2
+
+    if cfg.seq_model == "lstm":
+        layers.append(("lstm", (mult * cfg.n_filters, cfg.seq_layer_num, cfg.res_seq)))
+    elif cfg.seq_model == "transformer":
+        raise NotImplementedError("transformer seq_model lands with the LM stack")
+
+    layers.append(_act_layer(cfg, mult * cfg.n_filters))
+    layers.append(
+        (
+            "conv",
+            ConvSpec(
+                mult * cfg.n_filters,
+                cfg.dimension,
+                cfg.last_kernel_size,
+                causal=cfg.causal,
+                norm=cfg.norm,
+                pad_mode=cfg.pad_mode,
+            ),
+        )
+    )
+    return layers
+
+
+def build_decoder_layers(cfg: SEANetConfig) -> List[Layer]:
+    """Flat layer list for SEANetDecoder (seanet_decoder.py:106-172)."""
+    layers: List[Layer] = []
+    mult = int(2 ** len(cfg.ratios)) if cfg.half_filters else 1
+    layers.append(
+        (
+            "conv",
+            ConvSpec(
+                cfg.dimension,
+                mult * cfg.n_filters,
+                cfg.kernel_size,
+                causal=cfg.causal,
+                norm=cfg.norm,
+                pad_mode=cfg.pad_mode,
+            ),
+        )
+    )
+    if cfg.seq_model == "lstm":
+        layers.append(("lstm", (mult * cfg.n_filters, cfg.seq_layer_num, cfg.res_seq)))
+    elif cfg.seq_model == "transformer":
+        raise NotImplementedError("transformer seq_model lands with the LM stack")
+
+    for ratio in cfg.ratios:
+        out_ch = mult * cfg.n_filters // 2 if cfg.half_filters else mult * cfg.n_filters
+        layers.append(_act_layer(cfg, mult * cfg.n_filters))
+        layers.append(
+            (
+                "conv",
+                ConvSpec(
+                    mult * cfg.n_filters,
+                    out_ch,
+                    kernel_size=ratio * 2,
+                    stride=ratio,
+                    causal=cfg.causal,
+                    norm=cfg.norm,
+                    transposed=True,
+                    trim_right_ratio=cfg.trim_right_ratio,
+                ),
+            )
+        )
+        for j in range(cfg.n_residual_layers):
+            layers.append(_resblock_layers(cfg, out_ch, cfg.dilation_base**j))
+        if cfg.half_filters:
+            mult //= 2
+
+    layers.append(
+        _act_layer(
+            cfg, cfg.n_filters, "snake" if cfg.add_snake_activation else None
+        )
+    )
+    layers.append(
+        (
+            "conv",
+            ConvSpec(
+                cfg.n_filters,
+                cfg.input_size,
+                cfg.last_kernel_size,
+                causal=cfg.causal,
+                norm=cfg.norm,
+                pad_mode=cfg.pad_mode,
+            ),
+        )
+    )
+    if cfg.final_activation is not None:
+        layers.append(("act", (cfg.final_activation, {})))
+    return layers
+
+
+# ---------------------------------------------------------------------------
+# init / apply over a layer list
+# ---------------------------------------------------------------------------
+
+
+def init_layers(key, layers: Sequence[Layer]) -> List[Any]:
+    params: List[Any] = []
+    for kind, spec in layers:
+        key, sub = jax.random.split(key)
+        if kind == "conv":
+            params.append(init_conv(sub, spec))
+        elif kind == "snake":
+            params.append(act_ops.init_snake(spec))
+        elif kind == "lstm":
+            dim, nlayers, _skip = spec
+            params.append(init_lstm(sub, dim, dim, nlayers))
+        elif kind == "resblock":
+            block, shortcut = spec
+            bp = init_layers(sub, block)
+            sp = None
+            if shortcut is not None:
+                key, sub2 = jax.random.split(key)
+                sp = init_conv(sub2, shortcut)
+            params.append({"block": bp, "shortcut": sp})
+        elif kind in ("act", "squeeze", "unsqueeze"):
+            params.append(None)
+        else:
+            raise ValueError(kind)
+    return params
+
+
+def apply_layers(
+    layers: Sequence[Layer], params: Sequence[Any], x: jnp.ndarray, precision=None
+) -> jnp.ndarray:
+    for (kind, spec), p in zip(layers, params):
+        if kind == "conv":
+            x = apply_conv(spec, p, x, precision=precision)
+        elif kind == "act":
+            name, kwargs = spec
+            x = act_ops.get_activation_fn(name, **kwargs)(x)
+        elif kind == "snake":
+            x = act_ops.snake(x, p["alpha"])
+        elif kind == "lstm":
+            _dim, _nlayers, skip = spec
+            x = apply_slstm(p, x, skip=skip)
+        elif kind == "resblock":
+            block, shortcut = spec
+            y = apply_layers(block, p["block"], x, precision=precision)
+            s = x if shortcut is None else apply_conv(shortcut, p["shortcut"], x, precision=precision)
+            x = s + y
+        elif kind == "squeeze":
+            # (B, F, T, C) with F==1 -> (B, T, C); ReshapeModule (encoder :240-246)
+            x = jnp.squeeze(x, axis=1)
+        elif kind == "unsqueeze":
+            # (B, T, C) -> (B, 1, T, C); ReshapeModule (decoder :235-241)
+            x = jnp.expand_dims(x, axis=1)
+        else:
+            raise ValueError(kind)
+    return x
+
+
+class SEANetEncoder:
+    """Waveform (B, T) or (B, T, channels) -> latents (B, T', dimension)."""
+
+    def __init__(self, cfg: SEANetConfig):
+        self.cfg = cfg
+        self.layers = build_encoder_layers(cfg)
+        self.hop_length = cfg.hop_length
+
+    def init(self, key):
+        return init_layers(key, self.layers)
+
+    def output_size(self) -> int:
+        return self.cfg.dimension
+
+    def __call__(self, params, x: jnp.ndarray, precision=None) -> jnp.ndarray:
+        if x.ndim == 2:
+            x = x[:, :, None]  # (B, T, 1)
+        return apply_layers(self.layers, params, x, precision=precision)
+
+
+class SEANetDecoder:
+    """Latents (B, T', dimension) -> waveform (B, T, channels)."""
+
+    def __init__(self, cfg: SEANetConfig):
+        self.cfg = cfg
+        self.layers = build_decoder_layers(cfg)
+        self.hop_length = cfg.hop_length
+
+    def init(self, key):
+        return init_layers(key, self.layers)
+
+    def output_size(self) -> int:
+        return self.cfg.input_size
+
+    def __call__(self, params, z: jnp.ndarray, precision=None) -> jnp.ndarray:
+        return apply_layers(self.layers, params, z, precision=precision)

@@ -1,0 +1,354 @@
+"""Streamable 1D/2D convolutions for SEANet stacks, TPU-first.
+
+Pure functions over explicit parameter pytrees. Layout is channels-last —
+(B, T, C) for 1D and (B, F, T, C) for 2D — so convs lower straight onto the
+MXU via ``lax.conv_general_dilated`` without layout transposes.
+
+Behavioral reference (padding semantics, norm registry, weight-norm
+parametrization): funcodec/modules/normed_modules/conv.py
+(SConv1d :223-261, SConvTranspose1d :264-305, SConv2d :317-378,
+SConvTranspose2d :381-447, norm registry :21-54).
+
+Transposed convolutions are implemented as input-dilated gather convolutions
+(lhs_dilation) rather than scatter, which is the efficient TPU lowering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from funcodec_tpu.ops.pad import (
+    conv_padding_total,
+    extra_padding_for_conv1d,
+    pad1d_time,
+    pad2d_freq_time,
+    split_padding,
+    unpad1d_time,
+    unpad2d_freq_time,
+)
+
+Params = Dict[str, jnp.ndarray]
+
+CONV_NORMS = ("none", "weight_norm", "time_group_norm", "layer_norm")
+
+
+def _as_pair(x) -> Tuple[int, int]:
+    if isinstance(x, (tuple, list)):
+        return (int(x[0]), int(x[1]))
+    return (int(x), int(x))
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    """Static configuration of one streamable conv layer."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: Union[int, Tuple[int, int]] = 1
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    bias: bool = True
+    causal: bool = False
+    norm: str = "none"
+    pad_mode: str = "reflect"
+    # transposed-conv only:
+    transposed: bool = False
+    trim_right_ratio: float = 1.0
+    # SConvTranspose2d only: ((freq_l, freq_r), (time_l, time_r)) output padding kept
+    out_padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
+
+    def __post_init__(self):
+        assert self.norm in CONV_NORMS, self.norm
+
+    @property
+    def ndim(self) -> int:
+        return 2 if isinstance(self.kernel_size, (tuple, list)) else 1
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches torch Conv default: kaiming_uniform(a=sqrt(5)))
+# ---------------------------------------------------------------------------
+
+
+def _torch_conv_init(key, kernel_shape, fan_in, bias_shape, use_bias):
+    k_key, b_key = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    kernel = jax.random.uniform(
+        k_key, kernel_shape, jnp.float32, minval=-bound, maxval=bound
+    )
+    params = {"kernel": kernel}
+    if use_bias:
+        params["bias"] = jax.random.uniform(
+            b_key, bias_shape, jnp.float32, minval=-bound, maxval=bound
+        )
+    return params
+
+
+def init_conv(key, spec: ConvSpec) -> Params:
+    """Initialize parameters for one conv layer.
+
+    Kernel layouts (gather form):
+      1D forward:    (K, Cin/g, Cout)
+      1D transposed: (K, Cin/g, Cout)  — stored unflipped; flipped at apply
+      2D forward:    (Kf, Kt, Cin/g, Cout)
+      2D transposed: (Kf, Kt, Cin/g, Cout)
+    Weight norm stores {"g": per-out-channel norm, "v": direction} with the
+    norm taken over all non-output axes (torch weight_norm dim=0 semantics).
+    """
+    if spec.ndim == 1:
+        k = int(spec.kernel_size)
+        kernel_shape = (k, spec.in_channels // spec.groups, spec.out_channels)
+        if spec.transposed:
+            # torch ConvTranspose fan_in is per-input-channel: Cout/g * K
+            fan_in = (spec.out_channels // spec.groups) * k
+        else:
+            fan_in = (spec.in_channels // spec.groups) * k
+    else:
+        kf, kt = _as_pair(spec.kernel_size)
+        kernel_shape = (kf, kt, spec.in_channels // spec.groups, spec.out_channels)
+        if spec.transposed:
+            fan_in = (spec.out_channels // spec.groups) * kf * kt
+        else:
+            fan_in = (spec.in_channels // spec.groups) * kf * kt
+
+    params = _torch_conv_init(
+        key, kernel_shape, fan_in, (spec.out_channels,), spec.bias
+    )
+
+    if spec.norm == "weight_norm":
+        kernel = params.pop("kernel")
+        axes = tuple(range(kernel.ndim - 1))
+        g = jnp.sqrt(jnp.sum(kernel**2, axis=axes))
+        params["v"] = kernel
+        params["g"] = g
+    elif spec.norm == "time_group_norm":
+        params["norm_scale"] = jnp.ones((spec.out_channels,), jnp.float32)
+        params["norm_bias"] = jnp.zeros((spec.out_channels,), jnp.float32)
+    elif spec.norm == "layer_norm":
+        params["norm_scale"] = jnp.ones((spec.out_channels,), jnp.float32)
+        params["norm_bias"] = jnp.zeros((spec.out_channels,), jnp.float32)
+    return params
+
+
+def fused_kernel(params: Params) -> jnp.ndarray:
+    """Return the effective kernel, reconstituting weight norm if present."""
+    if "kernel" in params:
+        return params["kernel"]
+    v, g = params["v"], params["g"]
+    axes = tuple(range(v.ndim - 1))
+    norm = jnp.sqrt(jnp.sum(v.astype(jnp.float32) ** 2, axis=axes, keepdims=True))
+    return (v * (g / jnp.maximum(norm, 1e-12))).astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Normalization after the conv
+# ---------------------------------------------------------------------------
+
+
+def _apply_post_norm(spec: ConvSpec, params: Params, y: jnp.ndarray) -> jnp.ndarray:
+    if spec.norm == "time_group_norm":
+        # GroupNorm(num_groups=1): normalize over channels AND spatial dims per
+        # sample (conv.py:45-52 + torch.nn.GroupNorm semantics).
+        axes = tuple(range(1, y.ndim))
+        dt = y.dtype
+        y32 = y.astype(jnp.float32)
+        mean = jnp.mean(y32, axis=axes, keepdims=True)
+        var = jnp.mean((y32 - mean) ** 2, axis=axes, keepdims=True)
+        yn = (y32 - mean) * lax.rsqrt(var + 1e-5)
+        return (yn * params["norm_scale"] + params["norm_bias"]).astype(dt)
+    if spec.norm == "layer_norm":
+        # ConvLayerNorm (norm.py:28): LayerNorm over the channel axis.
+        dt = y.dtype
+        y32 = y.astype(jnp.float32)
+        mean = jnp.mean(y32, axis=-1, keepdims=True)
+        var = jnp.mean((y32 - mean) ** 2, axis=-1, keepdims=True)
+        yn = (y32 - mean) * lax.rsqrt(var + 1e-5)
+        return (yn * params["norm_scale"] + params["norm_bias"]).astype(dt)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Forward conv
+# ---------------------------------------------------------------------------
+
+
+def apply_sconv1d(
+    spec: ConvSpec,
+    params: Params,
+    x: jnp.ndarray,
+    precision=None,
+) -> jnp.ndarray:
+    """SConv1d on (B, T, C). Reference: conv.py:243-261."""
+    assert not spec.transposed
+    k = int(spec.kernel_size)
+    s = int(spec.stride)
+    d = int(spec.dilation)
+    padding_total = conv_padding_total(k, s, d)
+    extra = extra_padding_for_conv1d(x.shape[1], k, s, padding_total)
+    left, right = split_padding(padding_total, spec.causal)
+    x = pad1d_time(x, (left, right + extra), mode=spec.pad_mode)
+
+    kernel = fused_kernel(params).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(s,),
+        padding=[(0, 0)],
+        rhs_dilation=(d,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=spec.groups,
+        precision=precision,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    return _apply_post_norm(spec, params, y)
+
+
+def apply_sconv_transpose1d(
+    spec: ConvSpec,
+    params: Params,
+    x: jnp.ndarray,
+    precision=None,
+) -> jnp.ndarray:
+    """SConvTranspose1d on (B, T, C). Reference: conv.py:281-305.
+
+    Computed as a gather conv with lhs_dilation = stride; output length
+    (T-1)*s + K, then fixed padding K - s trimmed per causal/trim_right_ratio.
+    """
+    assert spec.transposed
+    k = int(spec.kernel_size)
+    s = int(spec.stride)
+    padding_total = k - s
+
+    kernel = jnp.flip(fused_kernel(params), axis=0).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=[(k - 1, k - 1)],
+        lhs_dilation=(s,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=spec.groups,
+        precision=precision,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    y = _apply_post_norm(spec, params, y)
+
+    if spec.causal:
+        padding_right = math.ceil(padding_total * spec.trim_right_ratio)
+        padding_left = padding_total - padding_right
+    else:
+        padding_right = padding_total // 2
+        padding_left = padding_total - padding_right
+    return unpad1d_time(y, (padding_left, padding_right))
+
+
+def apply_sconv2d(
+    spec: ConvSpec,
+    params: Params,
+    x: jnp.ndarray,
+    precision=None,
+) -> jnp.ndarray:
+    """SConv2d on (B, F, T, C); freq axis always padded non-causally.
+
+    Reference: conv.py:342-378 (time-axis extra padding from
+    get_extra_padding_for_conv1d on the time length; freq extra = 0).
+    """
+    assert not spec.transposed
+    kf, kt = _as_pair(spec.kernel_size)
+    sf, st = _as_pair(spec.stride)
+    df, dt_ = _as_pair(spec.dilation)
+
+    pt_f = conv_padding_total(kf, sf, df)
+    pt_t = conv_padding_total(kt, st, dt_)
+    extra_t = extra_padding_for_conv1d(x.shape[2], kt, st, pt_t)
+
+    freq_after = pt_f // 2
+    freq_before = pt_f - freq_after
+    if spec.causal:
+        # causal time axis: all fixed padding left, extra right (conv.py:361-368)
+        time_before, time_after = pt_t, extra_t
+    else:
+        # NOTE: unlike SConv1d, the reference adds the extra padding on the
+        # LEFT of the time axis in the non-causal 2D case (conv.py:373-374).
+        time_after = pt_t // 2
+        time_before = pt_t - time_after + extra_t
+    x = pad2d_freq_time(
+        x, (time_before, time_after), (freq_before, freq_after), mode=spec.pad_mode
+    )
+
+    kernel = fused_kernel(params).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(sf, st),
+        padding=[(0, 0), (0, 0)],
+        rhs_dilation=(df, dt_),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=spec.groups,
+        precision=precision,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    return _apply_post_norm(spec, params, y)
+
+
+def apply_sconv_transpose2d(
+    spec: ConvSpec,
+    params: Params,
+    x: jnp.ndarray,
+    precision=None,
+) -> jnp.ndarray:
+    """SConvTranspose2d on (B, F, T, C). Reference: conv.py:407-447."""
+    assert spec.transposed
+    kf, kt = _as_pair(spec.kernel_size)
+    sf, st = _as_pair(spec.stride)
+    pt_f = kf - sf
+    pt_t = kt - st
+
+    kernel = jnp.flip(fused_kernel(params), axis=(0, 1)).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=[(kf - 1, kf - 1), (kt - 1, kt - 1)],
+        lhs_dilation=(sf, st),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=spec.groups,
+        precision=precision,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    y = _apply_post_norm(spec, params, y)
+
+    (f_out_l, f_out_r), (t_out_l, t_out_r) = spec.out_padding
+    pad_f_right = pt_f // 2
+    pad_f_left = pt_f - pad_f_right
+    if spec.causal:
+        pad_t_right = math.ceil(pt_t * spec.trim_right_ratio)
+        pad_t_left = pt_t - pad_t_right
+    else:
+        pad_t_right = pt_t // 2
+        pad_t_left = pt_t - pad_t_right
+    return unpad2d_freq_time(
+        y,
+        (max(pad_t_left - t_out_l, 0), max(pad_t_right - t_out_r, 0)),
+        (max(pad_f_left - f_out_l, 0), max(pad_f_right - f_out_r, 0)),
+    )
+
+
+def apply_conv(spec: ConvSpec, params: Params, x: jnp.ndarray, precision=None):
+    """Dispatch on spec (1D/2D, forward/transposed)."""
+    if spec.ndim == 1:
+        fn = apply_sconv_transpose1d if spec.transposed else apply_sconv1d
+    else:
+        fn = apply_sconv_transpose2d if spec.transposed else apply_sconv2d
+    return fn(spec, params, x, precision=precision)

@@ -1,0 +1,400 @@
+"""Residual vector quantization with EMA codebooks, TPU-native.
+
+Behavioral reference: funcodec/modules/quantization/ddp_core_vq.py
+(EuclideanCodebook :110-241, VectorQuantization :244-324,
+DistributedResidualVectorQuantization :327-453) and vq.py :29-133.
+
+Design notes (TPU-first, not a port):
+
+- All codebooks live in ONE stacked state pytree: embed (n_q, bins, dim) etc.
+  The per-quantizer residual loop is a ``lax.scan`` whose xs are the stacked
+  per-quantizer state slices; distances are a single (N, dim) x (dim, bins)
+  matmul per step on the MXU.
+- The whole training forward is written as a *global-batch* program. Under
+  ``pjit`` over a data-sharded mesh, XLA/GSPMD inserts the collectives for the
+  one-hot cluster statistics automatically, so every replica computes
+  *identical* codebooks — strictly better than the reference's
+  update-then-broadcast scheme, which admits small cross-GPU divergence
+  (ddp_core_vq.py:238-239).
+- State updates are functional: (state, x) -> (outputs, new_state). No
+  buffers, no in-place mutation, exact resume from a checkpointed pytree.
+- The reference's dead-code expiry is a no-op in its DDP implementation (the
+  expired rows written at ddp_core_vq.py:161-178 are unconditionally
+  overwritten by the EMA normalization at :236-237). ``expiry_mode`` keeps
+  the choice explicit: "reference" reproduces the (inert) behavior, while
+  "effective" actually resets embed/embed_avg/cluster_size for dead codes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class RVQConfig:
+    """Static RVQ configuration (vq.py:42-84, CostumeQuantizer :6-53)."""
+
+    dim: int = 128
+    codebook_size: int = 1024
+    num_quantizers: int = 32
+    decay: float = 0.99
+    epsilon: float = 1e-5
+    threshold_ema_dead_code: float = 2.0
+    kmeans_init: bool = True
+    kmeans_iters: int = 50
+    quantize_dropout: bool = False
+    rand_num_quant: Optional[Tuple[int, ...]] = None
+    q0_ds_ratio: int = 1
+    sampling_rate: int = 16_000
+    encoder_hop_length: int = 320
+    commitment_weight: float = 1.0
+    expiry_mode: str = "reference"  # reference (inert) | effective | none
+
+    def bandwidth_per_quantizer(self) -> float:
+        """kbps... actually bps per quantizer: log2(bins) * sr / hop (vq.py:114-117)."""
+        return math.log2(self.codebook_size) * self.sampling_rate / self.encoder_hop_length
+
+    def num_quantizers_for_bandwidth(self, bandwidth: Optional[float]) -> int:
+        """n_q = max(1, floor(bw / bw_per_q)) (vq.py:105-112)."""
+        if bandwidth is not None and bandwidth > 0.0:
+            return int(max(1, math.floor(bandwidth / self.bandwidth_per_quantizer())))
+        return self.num_quantizers
+
+
+@struct.dataclass
+class RVQState:
+    """Stacked codebook state for all quantizers (ddp_core_vq.py:349-352)."""
+
+    inited: jnp.ndarray  # (n_q,) float {0,1}
+    cluster_size: jnp.ndarray  # (n_q, bins)
+    embed: jnp.ndarray  # (n_q, bins, dim)
+    embed_avg: jnp.ndarray  # (n_q, bins, dim)
+
+
+def init_rvq_state(cfg: RVQConfig, key: Optional[jax.Array] = None) -> RVQState:
+    n_q, bins, dim = cfg.num_quantizers, cfg.codebook_size, cfg.dim
+    if cfg.kmeans_init:
+        embed = jnp.zeros((n_q, bins, dim), jnp.float32)
+        inited = jnp.zeros((n_q,), jnp.float32)
+    else:
+        # torch kaiming_uniform on (bins, dim): bound = sqrt(1/dim) * sqrt(3) * gain
+        assert key is not None, "uniform init needs a PRNG key"
+        gain = math.sqrt(2.0 / (1.0 + 5.0))
+        bound = gain * math.sqrt(3.0 / dim)
+        embed = jax.random.uniform(
+            key, (n_q, bins, dim), jnp.float32, minval=-bound, maxval=bound
+        )
+        inited = jnp.ones((n_q,), jnp.float32)
+    return RVQState(
+        inited=inited,
+        cluster_size=jnp.zeros((n_q, bins), jnp.float32),
+        embed=embed,
+        embed_avg=embed.copy(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distance kernel
+# ---------------------------------------------------------------------------
+
+
+def nearest_codebook_indices(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
+    """argmax of -(||x||^2 - 2 x.e + ||e||^2) over the codebook.
+
+    x: (N, D), embed: (bins, D) -> (N,) int32. Matches the fp32 expansion and
+    first-max tie-breaking of ddp_core_vq.py:180-188 (torch .max picks the
+    first maximal index; jnp.argmax does too).
+    """
+    x32 = x.astype(jnp.float32)
+    e32 = embed.astype(jnp.float32)
+    dist = -(
+        jnp.sum(x32 * x32, axis=1, keepdims=True)
+        - 2.0 * x32 @ e32.T
+        + jnp.sum(e32 * e32, axis=1)[None, :]
+    )
+    return jnp.argmax(dist, axis=-1).astype(jnp.int32)
+
+
+def _sample_vectors(key, samples: jnp.ndarray, num: int) -> jnp.ndarray:
+    """Sample `num` rows; randperm if enough rows else randint (ddp :65-73)."""
+    n = samples.shape[0]
+    if n >= num:
+        idx = jax.random.permutation(key, n)[:num]
+    else:
+        idx = jax.random.randint(key, (num,), 0, n)
+    return samples[idx]
+
+
+def kmeans(key, samples: jnp.ndarray, num_clusters: int, num_iters: int):
+    """In-graph k-means (ddp_core_vq.py:76-98). samples: (N, D) fp32.
+
+    Returns (means (k, D), bins (k,)). Distances via one-hot matmuls on MXU.
+    """
+    means = _sample_vectors(key, samples, num_clusters)
+
+    def body(_, means):
+        # nearest mean per sample
+        idx = nearest_codebook_indices(samples, means)
+        onehot = jax.nn.one_hot(idx, num_clusters, dtype=samples.dtype)  # (N, k)
+        bins = jnp.sum(onehot, axis=0)  # (k,)
+        sums = onehot.T @ samples  # (k, D)
+        zero = bins == 0
+        new_means = sums / jnp.maximum(bins, 1.0)[:, None]
+        return jnp.where(zero[:, None], means, new_means)
+
+    means = lax.fori_loop(0, num_iters, body, means)
+    idx = nearest_codebook_indices(samples, means)
+    bins = jnp.sum(jax.nn.one_hot(idx, num_clusters, dtype=samples.dtype), axis=0)
+    return means, bins
+
+
+# ---------------------------------------------------------------------------
+# inference paths
+# ---------------------------------------------------------------------------
+
+
+def rvq_encode(
+    cfg: RVQConfig, state: RVQState, x: jnp.ndarray, n_q: Optional[int] = None
+) -> jnp.ndarray:
+    """Greedy residual encode. x: (B, T, D) -> indices (n_q, B, T) int32.
+
+    Reference: ddp_core_vq.py:420-440.
+    """
+    n_q = n_q or cfg.num_quantizers
+    B, T, D = x.shape
+    flat = x.reshape(B * T, D).astype(jnp.float32)
+
+    def step(residual, embed_q):
+        idx = nearest_codebook_indices(residual, embed_q)
+        quantized = embed_q[idx]
+        return residual - quantized, idx
+
+    _, indices = lax.scan(step, flat, state.embed[:n_q])
+    return indices.reshape(n_q, B, T)
+
+
+def rvq_decode(cfg: RVQConfig, state: RVQState, indices: jnp.ndarray) -> jnp.ndarray:
+    """indices (n_q', B, T) -> (B, T, D) sum of codebook vectors (ddp :442-453)."""
+    n_q = indices.shape[0]
+
+    def gather(embed_q, idx_q):
+        return embed_q[idx_q]  # (B, T, D)
+
+    quants = jax.vmap(gather)(state.embed[:n_q], indices)
+    return jnp.sum(quants, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# training forward (EMA codebook learning, quantizer dropout, kmeans init)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_time_resize(x: jnp.ndarray, new_t: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') along time of (B, T, D)."""
+    t = x.shape[1]
+    # torch nearest: src_idx = floor(dst_idx * t / new_t)
+    idx = jnp.floor(jnp.arange(new_t) * (t / new_t)).astype(jnp.int32)
+    return x[:, idx, :]
+
+
+def _train_one_quantizer(
+    cfg: RVQConfig,
+    residual: jnp.ndarray,  # (N, D) layer input, fp32, differentiable
+    inited_q: jnp.ndarray,  # scalar
+    cluster_size_q: jnp.ndarray,  # (bins,)
+    embed_q: jnp.ndarray,  # (bins, D)
+    embed_avg_q: jnp.ndarray,  # (bins, D)
+    active: jnp.ndarray,  # scalar bool: is this layer on (dropout / n_q)?
+    key: jax.Array,
+):
+    """One EuclideanCodebook forward+EMA step (ddp_core_vq.py:212-241).
+
+    Returns (quantized (N, D) gradient-free, indices (N,), new buffers).
+    State updates are masked by `active` (dropped layers keep their buffers
+    untouched, matching the `continue` at ddp_core_vq.py:389-393).
+    """
+    bins = cfg.codebook_size
+    xs = lax.stop_gradient(residual)
+
+    # --- kmeans init on first use (ddp :149-159) ---
+    def do_init(_):
+        k_key, _ = jax.random.split(key)
+        means, counts = kmeans(k_key, xs, bins, cfg.kmeans_iters)
+        return means, means, counts.astype(jnp.float32), jnp.float32(1.0)
+
+    def no_init(_):
+        return embed_q, embed_avg_q, cluster_size_q, inited_q
+
+    need_init = jnp.logical_and(inited_q < 0.5, active)
+    embed_q, embed_avg_q, cluster_size_q, inited_q = lax.cond(
+        need_init, do_init, no_init, operand=None
+    )
+
+    # --- quantize ---
+    idx = nearest_codebook_indices(xs, embed_q)
+    quantized = embed_q[idx]  # (N, D)
+
+    # --- EMA updates (ddp :225-237) ---
+    onehot = jax.nn.one_hot(idx, bins, dtype=jnp.float32)  # (N, bins)
+    counts = jnp.sum(onehot, axis=0)  # GSPMD all-reduces across data shards
+    embed_sum = onehot.T @ xs  # (bins, D)
+
+    decay = cfg.decay
+    new_cluster_size = cluster_size_q * decay + counts * (1.0 - decay)
+    new_embed_avg = embed_avg_q * decay + embed_sum * (1.0 - decay)
+    total = jnp.sum(new_cluster_size)
+    smoothed = (new_cluster_size + cfg.epsilon) / (total + bins * cfg.epsilon) * total
+    new_embed = new_embed_avg / smoothed[:, None]
+
+    if cfg.expiry_mode == "effective":
+        # Reset genuinely dead codes to fresh batch samples (improvement over
+        # the reference, whose expiry is clobbered — see module docstring).
+        e_key = jax.random.fold_in(key, 1)
+        expired = new_cluster_size < cfg.threshold_ema_dead_code
+        fresh = _sample_vectors(e_key, xs, bins)
+        new_embed = jnp.where(expired[:, None], fresh, new_embed)
+        new_embed_avg = jnp.where(expired[:, None], fresh, new_embed_avg)
+        new_cluster_size = jnp.where(
+            expired,
+            jnp.full_like(new_cluster_size, cfg.threshold_ema_dead_code),
+            new_cluster_size,
+        )
+
+    def mix(new, old):
+        return jnp.where(active, new, old)
+
+    return (
+        quantized,
+        idx,
+        inited_q,  # already conditioned on `active` via need_init
+        mix(new_cluster_size, cluster_size_q),
+        mix(new_embed, embed_q),
+        mix(new_embed_avg, embed_avg_q),
+    )
+
+
+def rvq_train_forward(
+    cfg: RVQConfig,
+    state: RVQState,
+    x: jnp.ndarray,  # (B, T, D)
+    key: jax.Array,
+    n_q: Optional[int] = None,
+):
+    """Full RVQ training forward (ddp_core_vq.py:367-418).
+
+    Gradient semantics match the reference exactly: each layer applies its own
+    straight-through estimator, so residuals past layer 0 are gradient-free
+    and only layer 0's commit loss trains the encoder; the summed quantized
+    output carries an identity gradient to `x`.
+
+    Returns (quantized_out (B,T,D) straight-through,
+    indices (n_q, B, T) int32 with -1 for dropped layers,
+    commit_losses (n_q,) with 0 for dropped,
+    sub_quants (n_q, B, T, D) with -1.0 for dropped,
+    new_state).
+    """
+    n_q = n_q or cfg.num_quantizers
+    B, T, D = x.shape
+    flat = x.reshape(B * T, D).astype(jnp.float32)
+
+    # quantizer dropout: keep `cutoff` layers this step (ddp :378-380)
+    if cfg.quantize_dropout and cfg.rand_num_quant:
+        choice_key, key = jax.random.split(key)
+        options = jnp.asarray(cfg.rand_num_quant, jnp.int32)
+        cutoff = jax.random.choice(choice_key, options)
+    else:
+        cutoff = jnp.int32(n_q)
+
+    keys = jax.random.split(key, n_q)
+    layer_ids = jnp.arange(n_q)
+
+    def step(residual, xs):
+        layer_id, k, inited_q, cluster_q, embed_q, avg_q = xs
+        active = layer_id < cutoff
+        quantized, idx, n_inited, n_cluster, n_embed, n_avg = _train_one_quantizer(
+            cfg, residual, inited_q, cluster_q, embed_q, avg_q, active, k
+        )
+        # per-layer STE (ddp :312-313): value=q, gradient=identity to residual
+        quant_ste = residual + lax.stop_gradient(quantized - residual)
+        # commit loss vs the layer input (ddp :317-320)
+        diff = lax.stop_gradient(quantized) - residual
+        commit = jnp.mean(diff * diff) * cfg.commitment_weight
+        commit = jnp.where(active, commit, 0.0)
+
+        act_f = active.astype(residual.dtype)
+        quant_masked = quant_ste * act_f
+        new_residual = residual - quant_masked
+
+        out_idx = jnp.where(active, idx, -1)
+        out_subq = jnp.where(active, quantized, -1.0)
+        return new_residual, (
+            out_idx,
+            commit,
+            out_subq,
+            quant_masked,
+            n_inited,
+            n_cluster,
+            n_embed,
+            n_avg,
+        )
+
+    xs = (
+        layer_ids,
+        keys,
+        state.inited[:n_q],
+        state.cluster_size[:n_q],
+        state.embed[:n_q],
+        state.embed_avg[:n_q],
+    )
+    _, ys = lax.scan(step, flat, xs)
+    (idxs, commits, sub_quants, quant_steps, n_inited, n_cluster, n_embed, n_avg) = ys
+
+    quantized_out = jnp.sum(quant_steps, axis=0).reshape(B, T, D).astype(x.dtype)
+
+    new_state = RVQState(
+        inited=state.inited.at[:n_q].set(n_inited),
+        cluster_size=state.cluster_size.at[:n_q].set(n_cluster),
+        embed=state.embed.at[:n_q].set(n_embed),
+        embed_avg=state.embed_avg.at[:n_q].set(n_avg),
+    )
+
+    indices = idxs.reshape(n_q, B, T)
+    sub_quants = sub_quants.reshape(n_q, B, T, D)
+    return quantized_out, indices, commits, sub_quants, new_state
+
+
+def rvq_inference(
+    cfg: RVQConfig,
+    state: RVQState,
+    x: jnp.ndarray,  # (B, T, D)
+    n_q: Optional[int] = None,
+):
+    """Eval-mode forward: quantize with no state updates, no dropout.
+
+    Equivalent to the reference's rq forward under model.eval()
+    (CostumeQuantizer.inference :77-96 -> ddp forward with training=False).
+    Returns (quantized_out (B,T,D), indices (n_q,B,T), sub_quants (n_q,B,T,D)).
+    """
+    n_q = n_q or cfg.num_quantizers
+    B, T, D = x.shape
+    flat = x.reshape(B * T, D).astype(jnp.float32)
+
+    def step(residual, embed_q):
+        idx = nearest_codebook_indices(residual, embed_q)
+        quantized = embed_q[idx]
+        return residual - quantized, (idx, quantized)
+
+    _, (idxs, quants) = lax.scan(step, flat, state.embed[:n_q])
+    quantized_out = jnp.sum(quants, axis=0).reshape(B, T, D).astype(x.dtype)
+    return (
+        quantized_out,
+        idxs.reshape(n_q, B, T),
+        quants.reshape(n_q, B, T, D).astype(x.dtype),
+    )
