@@ -1,0 +1,122 @@
+"""Headline benchmark: nq32 encode+decode audio-seconds/sec/chip on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the PyTorch reference implementation
+(funcodec SEANet + DistributedRVQ) running on this host's CPU — the only
+reference runtime available in this environment (no GPU). The BASELINE.json
+north-star (>=5x PyTorch-GPU) is tracked separately.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_tpu(batch=32, seconds=10, sr=16000, warmup=2, iters=5, dtype="bfloat16"):
+    """Production inference path: bf16 conv stacks, fp32 codebook distances.
+
+    Timing fetches a scalar checksum per call — on the axon tunnel,
+    block_until_ready on a device array does not synchronize, so a tiny
+    host transfer is the reliable fence (and avoids timing the full
+    waveform D2H transfer, which is not part of the compute metric).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_flagship
+
+    model, _ = _build_flagship(kmeans_init=False)
+    params, rvq_state = model.init(jax.random.PRNGKey(0))
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jdtype) if x.dtype == jnp.float32 else x, params
+    )
+
+    T = seconds * sr
+    speech = jnp.asarray(
+        np.random.RandomState(0).randn(batch, T).astype(np.float32) * 0.1
+    ).astype(jdtype)
+
+    @jax.jit
+    def encode_decode(params, rvq_state, speech):
+        out = model.inference(params, rvq_state, speech, need_recon=True)
+        return (
+            jnp.sum(jnp.abs(out["recon_speech"].astype(jnp.float32))),
+            jnp.sum(out["code_indices"][0]),
+        )
+
+    for _ in range(warmup):
+        s, _ = encode_decode(params, rvq_state, speech)
+        float(s)  # host fetch = sync fence
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s, _ = encode_decode(params, rvq_state, speech)
+        float(s)
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_secs = batch * seconds
+    return audio_secs / dt
+
+
+def bench_torch_reference(batch=1, seconds=10, sr=16000, iters=2):
+    """Reference encode+decode on host CPU (same topology, eval mode)."""
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from funcodec.models.encoder.seanet_encoder import SEANetEncoder
+    from funcodec.models.decoder.seanet_decoder import SEANetDecoder
+    from funcodec.modules.quantization.ddp_core_vq import (
+        DistributedResidualVectorQuantization,
+    )
+
+    torch.set_num_threads(max(torch.get_num_threads(), 8))
+    enc = SEANetEncoder(norm="time_group_norm", causal=False).eval()
+    dec = SEANetDecoder(norm="time_group_norm", causal=False).eval()
+    rvq = DistributedResidualVectorQuantization(
+        num_quantizers=32, dim=128, codebook_size=1024, decay=0.99,
+        kmeans_init=False, kmeans_iters=50, threshold_ema_dead_code=2,
+        quantize_dropout=False, rand_num_quant=None,
+    ).eval()
+
+    x = torch.randn(batch, 1, seconds * sr) * 0.1
+    with torch.no_grad():
+        emb = enc(x)  # warmup
+        codes = rvq.encode(emb.permute(0, 2, 1))
+        quant = rvq.decode(codes)
+        dec(quant.permute(0, 2, 1))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            emb = enc(x)
+            codes = rvq.encode(emb.permute(0, 2, 1))
+            quant = rvq.decode(codes)
+            y = dec(quant.permute(0, 2, 1))
+        dt = (time.perf_counter() - t0) / iters
+    return batch * seconds / dt
+
+
+def main():
+    value = bench_tpu()
+    try:
+        baseline = bench_torch_reference()
+    except Exception:
+        baseline = None
+    result = {
+        "metric": "encode+decode audio-secs/sec/chip (EnCodec 16k nq32ds320)",
+        "value": round(value, 2),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+        "baseline": {
+            "what": "PyTorch reference (funcodec) encode+decode on host CPU",
+            "audio_s_per_s": round(baseline, 2) if baseline else None,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

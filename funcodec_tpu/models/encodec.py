@@ -16,9 +16,11 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from funcodec_tpu.models.quantizer import Quantizer, QuantizerConfig
 from funcodec_tpu.models.seanet import SEANetConfig, SEANetDecoder, SEANetEncoder
+from funcodec_tpu.ops.stft import audio_to_mel
 from funcodec_tpu.quant.rvq import RVQState
 
 
@@ -243,3 +245,176 @@ class Encodec:
         """Dense code embeddings (B, T, D) -> waveform (codec_basic.py:804-836)."""
         recon = self._decode(params, [(emb, None)], precision=precision)
         return dict(recon_speech=recon, code_indices=None, code_embeddings=[(emb, None)])
+
+    # -- training forwards (codec_basic.py:471-668) ---------------------------
+
+    def _reconstruct(self, params, rvq_state, speech, key, precision=None):
+        """Shared encode->RVQ(train)->decode. Returns (recon, aux)."""
+        frames = self._encode(params, speech, precision=precision)
+        codes = []
+        commit_losses = []
+        enc_quant_losses = []
+        all_indices, all_sub_quants, all_embs = [], [], []
+        state = rvq_state
+        for i, (emb, scale) in enumerate(frames):
+            sub_key = jax.random.fold_in(key, i)
+            quant_out, indices, commit, sub_quants, state = self.quantizer.train_forward(
+                params["quantizer"], state, emb, sub_key
+            )
+            commit_losses.append(commit)
+            # MSE then squared (codec_basic.py:509)
+            mse = jnp.mean((quant_out.astype(jnp.float32) - emb.astype(jnp.float32)) ** 2)
+            enc_quant_losses.append(mse**2)
+            codes.append((quant_out, scale))
+            all_indices.append(indices)
+            all_sub_quants.append(sub_quants)
+            all_embs.append(emb)
+        recon = self._decode(params, codes, precision=precision)[..., : speech.shape[-1]]
+        aux = dict(
+            commit_loss=jnp.sum(jnp.stack(commit_losses)),
+            enc_quant_loss=jnp.sum(jnp.stack(enc_quant_losses)),
+            indices=all_indices,
+            sub_quants=all_sub_quants,
+            embs=all_embs,
+            rvq_state=state,
+        )
+        return recon, aux
+
+    def _multi_spectral_loss(self, orig, recon):
+        """6-scale mel/power reconstruction loss (codec_basic.py:522-540)."""
+        cfg = self.cfg
+        total = jnp.float32(0.0)
+        for p in cfg.multi_spectral_window_powers_of_two:
+            win = 2**p
+            kw = dict(
+                n_fft=1024,
+                hop_length=win // 4,
+                win_length=win,
+                sampling_rate=cfg.target_sample_hz,
+                n_mel_channels=cfg.multi_spectral_n_mels,
+            )
+            if not cfg.use_power_spec_loss:
+                om = audio_to_mel(orig, **kw)
+                rm = audio_to_mel(recon, **kw)
+                l1 = jnp.mean(jnp.abs(om - rm))
+                l2 = jnp.mean((om - rm) ** 2)
+            else:
+                om, op = audio_to_mel(orig, return_power_spec=True, **kw)
+                rm, rp = audio_to_mel(recon, return_power_spec=True, **kw)
+                l1 = jnp.mean(jnp.abs(om - rm)) * 0.5 + jnp.mean(jnp.abs(op - rp)) * 0.5
+                l2 = jnp.mean((om - rm) ** 2) * 0.5 + jnp.mean((op - rp) ** 2) * 0.5
+            total = total + l1 + l2
+        return total / len(cfg.multi_spectral_window_powers_of_two)
+
+    def forward_generator(
+        self,
+        params,
+        disc_params,
+        discriminator,
+        rvq_state: RVQState,
+        speech: jnp.ndarray,  # (B, T)
+        key: jax.Array,
+        precision=None,
+    ):
+        """Generator turn (codec_basic.py:471-597).
+
+        Returns (loss, aux dict with stats/rvq_state/recon). Differentiate
+        w.r.t. `params` only; disc gradients are blocked with stop_gradient
+        (the reference detaches via optimizer separation; adversarial losses
+        flow through the discriminator *activations* into the generator).
+        """
+        cfg = self.cfg
+        orig = speech.astype(jnp.float32)
+        recon, aux = self._reconstruct(params, rvq_state, speech, key, precision=precision)
+        recon = recon.astype(jnp.float32)
+
+        recon_loss = jnp.mean(jnp.abs(orig - recon))
+        multi_spectral = (
+            self._multi_spectral_loss(orig, recon)
+            if cfg.multi_spectral_recon_loss_weight > 0
+            else jnp.float32(0.0)
+        )
+
+        # adversarial + feature-matching (codec_basic.py:545-562). The
+        # discriminator of the real signal carries no gradient (torch.no_grad).
+        disc_params_sg = jax.tree_util.tree_map(lax.stop_gradient, disc_params)
+        fake_outs = discriminator(disc_params_sg, recon, precision=precision)
+        real_outs = discriminator(
+            disc_params_sg, lax.stop_gradient(orig), precision=precision
+        )
+        adv_losses, feat_losses = [], []
+        for (real_logits, real_fmap), (fake_logits, fake_fmap) in zip(real_outs, fake_outs):
+            adv_losses.append(jnp.mean(jax.nn.relu(1.0 - fake_logits)))
+            for rf, ff in zip(real_fmap, fake_fmap):
+                feat_losses.append(jnp.mean(jnp.abs(lax.stop_gradient(rf) - ff)))
+        adversarial_loss = jnp.mean(jnp.stack(adv_losses))
+        feat_match_loss = jnp.mean(jnp.stack(feat_losses))
+
+        gen_loss = (
+            recon_loss * cfg.recon_loss_weight
+            + multi_spectral * cfg.multi_spectral_recon_loss_weight
+            + adversarial_loss * cfg.adversarial_loss_weight
+            + feat_match_loss * cfg.feat_match_loss_weight
+        )
+        loss = (
+            gen_loss
+            + aux["commit_loss"]
+            + aux["enc_quant_loss"] * cfg.enc_quant_loss_weight
+        )
+        stats = dict(
+            generator_loss=loss,
+            generator_recon_loss=recon_loss,
+            generator_multi_spectral_recon_loss=multi_spectral,
+            generator_adv_loss=adversarial_loss,
+            generator_feat_match_loss=feat_match_loss,
+            generator_commit_loss=aux["commit_loss"],
+            generator_enc_quant_loss=aux["enc_quant_loss"],
+        )
+        out = dict(
+            stats=stats,
+            rvq_state=aux["rvq_state"],
+            gen_loss=lax.stop_gradient(gen_loss),  # carried for disc gating
+            real=orig,
+            fake=recon,
+        )
+        return loss, out
+
+    def forward_discriminator(
+        self,
+        params,
+        disc_params,
+        discriminator,
+        rvq_state: RVQState,
+        speech: jnp.ndarray,
+        key: jax.Array,
+        gen_loss_carry: jnp.ndarray,
+        precision=None,
+    ):
+        """Discriminator turn (codec_basic.py:599-668).
+
+        Hinge loss on real/fake, gated off whenever the discriminator is
+        already winning: disc_loss * (disc_loss > gen_loss) (:644-650).
+        Differentiate w.r.t. `disc_params`; the generator forward still runs
+        in train mode so the RVQ EMA state advances, as in the reference.
+        """
+        gen_params_sg = jax.tree_util.tree_map(lax.stop_gradient, params)
+        recon, aux = self._reconstruct(
+            gen_params_sg, rvq_state, speech, key, precision=precision
+        )
+        orig = speech.astype(jnp.float32)
+        fake = lax.stop_gradient(recon.astype(jnp.float32))
+
+        real_outs = discriminator(disc_params, orig, precision=precision)
+        fake_outs = discriminator(disc_params, fake, precision=precision)
+        disc_losses = []
+        for (real_logits, _), (fake_logits, _) in zip(real_outs, fake_outs):
+            disc_losses.append(
+                jnp.mean(jax.nn.relu(1.0 - real_logits))
+                + jnp.mean(jax.nn.relu(1.0 + fake_logits))
+            )
+        disc_loss = jnp.mean(jnp.stack(disc_losses))
+        # adaptive gating keeps D from overpowering G (codec_basic.py:646)
+        loss = disc_loss * (disc_loss > gen_loss_carry).astype(disc_loss.dtype)
+        stats = dict(discriminator_total_loss=loss, discriminator_loss=disc_loss)
+        out = dict(stats=stats, rvq_state=aux["rvq_state"], real=orig, fake=fake)
+        return loss, out

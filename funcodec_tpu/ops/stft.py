@@ -1,0 +1,187 @@
+"""STFT / inverse STFT / mel filterbanks, matching the reference's torch and
+librosa semantics.
+
+Behavioral references:
+- Audio2Mel: funcodec/models/codec_basic.py:25-71 (reflect pad, torch.stft
+  center=False, power spectrum, librosa slaney mel, log10 clamp 1e-5)
+- Discriminator spectrogram: torchaudio Spectrogram(normalized=True,
+  center=False, power=None) in funcodec/models/discriminator/encodec_disc.py:62-64
+- FreqCodec domains: torchaudio Spectrogram/InverseSpectrogram(center=True)
+  in funcodec/models/codec_freq.py:150-210
+
+TPU notes: framing is a reshape-free gather + one batched matmul-like rfft
+(XLA lowers FFTs natively); the mel projection is a single MXU matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """torch.hann_window(periodic=True)."""
+    n = jnp.arange(win_length, dtype=dtype)
+    return 0.5 * (1.0 - jnp.cos(2.0 * math.pi * n / win_length))
+
+
+def _padded_window(win_length: int, n_fft: int, dtype=jnp.float32) -> jnp.ndarray:
+    """torch.stft zero-pads a short window symmetrically to n_fft."""
+    w = hann_window(win_length, dtype)
+    if win_length < n_fft:
+        left = (n_fft - win_length) // 2
+        w = jnp.pad(w, (left, n_fft - win_length - left))
+    return w
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """(..., T) -> (..., n_frames, frame_length) via strided gather."""
+    t = x.shape[-1]
+    n_frames = 1 + (t - frame_length) // hop
+    idx = (jnp.arange(n_frames)[:, None] * hop) + jnp.arange(frame_length)[None, :]
+    return x[..., idx]
+
+
+def stft(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: Optional[int] = None,
+    center: bool = True,
+    normalized: bool = False,
+    pad_mode: str = "reflect",
+) -> jnp.ndarray:
+    """Complex STFT of (..., T) -> (..., n_fft//2+1, n_frames).
+
+    Matches torch.stft / torchaudio.transforms.Spectrogram(power=None):
+    `normalized=True` divides by sqrt(sum(window^2)) (torchaudio
+    'window' normalization).
+    """
+    win_length = win_length or n_fft
+    window = _padded_window(win_length, n_fft, jnp.float32)
+    if center:
+        pad = n_fft // 2
+        widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        x = jnp.pad(x, widths, mode=pad_mode)
+    frames = frame_signal(x.astype(jnp.float32), n_fft, hop_length)
+    spec = jnp.fft.rfft(frames * window, axis=-1)  # (..., n_frames, F)
+    if normalized:
+        spec = spec / jnp.sqrt(jnp.sum(window**2))
+    return jnp.swapaxes(spec, -1, -2)  # (..., F, n_frames)
+
+
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: Optional[int] = None,
+    center: bool = True,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """Inverse STFT of (..., F, n_frames) -> (..., T).
+
+    Matches torch.istft / torchaudio InverseSpectrogram: windowed overlap-add
+    normalized by the summed squared window envelope.
+    """
+    win_length = win_length or n_fft
+    window = _padded_window(win_length, n_fft, jnp.float32)
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = frames * window  # (..., n_frames, n_fft)
+
+    n_frames = frames.shape[-2]
+    total = n_fft + hop_length * (n_frames - 1)
+    batch_shape = frames.shape[:-2]
+
+    flat = frames.reshape((-1, n_frames, n_fft))
+    # parallel overlap-add: one scatter-add over precomputed frame positions
+    positions = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    out = jnp.zeros((flat.shape[0], total), flat.dtype).at[:, positions].add(flat)
+    env = (
+        jnp.zeros((total,), jnp.float32)
+        .at[positions]
+        .add(jnp.broadcast_to(window**2, (n_frames, n_fft)))
+    )
+
+    if center:
+        half = n_fft // 2
+        out = out[:, half : total - half]
+        env = env[half : total - half]
+    out = out / jnp.maximum(env, 1e-11)
+    out = out.reshape(batch_shape + (out.shape[-1],))
+    if length is not None:
+        out = out[..., :length]
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def mel_filterbank(
+    sr: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+) -> np.ndarray:
+    """librosa.filters.mel(htk=False, norm='slaney') reimplementation.
+
+    Slaney mel scale: linear below 1 kHz, logarithmic above; triangular
+    filters area-normalized by 2/(mel_f[i+2]-mel_f[i]).
+    """
+    fmax = fmax or sr / 2.0
+
+    def hz_to_mel(f):
+        f = np.asarray(f, dtype=np.float64)
+        mel = f / (200.0 / 3.0)
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / (200.0 / 3.0)
+        logstep = math.log(6.4) / 27.0
+        return np.where(f >= min_log_hz, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mel)
+
+    def mel_to_hz(m):
+        m = np.asarray(m, dtype=np.float64)
+        f = m * (200.0 / 3.0)
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / (200.0 / 3.0)
+        logstep = math.log(6.4) / 27.0
+        return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), f)
+
+    fftfreqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    mel_f = mel_to_hz(mel_pts)
+
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1][:, None]
+    upper = ramps[2:] / fdiff[1:][:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+def audio_to_mel(
+    audio: jnp.ndarray,  # (B, T)
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    sampling_rate: int,
+    n_mel_channels: int,
+    return_power_spec: bool = False,
+):
+    """Audio2Mel.forward (codec_basic.py:54-71): reflect-pad then center=False
+    STFT, power spectrum, slaney mel matmul, log10 clamped at 1e-5."""
+    p = (n_fft - hop_length) // 2
+    x = jnp.pad(audio, [(0, 0), (p, p)], mode="reflect")
+    spec = stft(x, n_fft, hop_length, win_length, center=False, normalized=False)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (B, F, frames)
+    mel_basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, n_mel_channels))
+    mel = jnp.einsum("mf,bft->bmt", mel_basis, power)
+    log_mel = jnp.log10(jnp.maximum(mel, 1e-5))
+    if return_power_spec:
+        log_power = jnp.log10(jnp.maximum(power, 1e-5))
+        return log_mel, log_power
+    return log_mel

@@ -1,0 +1,175 @@
+"""Jitted GAN training step over a device mesh.
+
+Replaces the reference's multi-process DDP choreography
+(funcodec/train/gan_trainer.py:97-342, funcodec/train/distributed_utils.py)
+with ONE pure function (state, batch, rng) -> (state, stats), pjit-ed over a
+``jax.sharding.Mesh``: batch sharded on the "data" axis, state replicated;
+GSPMD inserts gradient and codebook-statistic collectives automatically.
+
+Turn order per step matches gan_trainer.py:170-181: discriminator first
+(gated by disc_train_interval), then generator (gen_train_interval). The
+adaptive disc gating scalar (codec_basic.py:216,646-650) lives in the train
+state as `gen_loss_carry` instead of a Python attribute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax import lax
+
+from funcodec_tpu.quant.rvq import RVQState
+
+
+@struct.dataclass
+class GANTrainState:
+    step: jnp.ndarray  # scalar int32
+    params: Any  # generator params {encoder, quantizer, decoder}
+    disc_params: Any
+    rvq_state: RVQState
+    opt_state_g: Any
+    opt_state_d: Any
+    gen_loss_carry: jnp.ndarray  # scalar f32 for disc gating
+
+
+def create_gan_train_state(
+    params, disc_params, rvq_state, optimizer_g, optimizer_d
+) -> GANTrainState:
+    return GANTrainState(
+        step=jnp.int32(0),
+        params=params,
+        disc_params=disc_params,
+        rvq_state=rvq_state,
+        opt_state_g=optimizer_g.init(params),
+        opt_state_d=optimizer_d.init(disc_params),
+        gen_loss_carry=jnp.float32(0.0),
+    )
+
+
+def make_optimizer(
+    lr: float = 3e-4,
+    betas: Tuple[float, float] = (0.5, 0.9),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    grad_clip: float = -1.0,
+    schedule: Optional[Callable] = None,
+) -> optax.GradientTransformation:
+    """Adam (+ optional global-norm clip) matching the recipe optimizers
+    (egs/LibriTTS/codec/conf/encodec_16k_n32_600k_step.yaml:53-63)."""
+    chain = []
+    if grad_clip and grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    lr_arg = schedule if schedule is not None else lr
+    if weight_decay > 0:
+        chain.append(optax.adamw(lr_arg, b1=betas[0], b2=betas[1], eps=eps,
+                                 weight_decay=weight_decay))
+    else:
+        chain.append(optax.adam(lr_arg, b1=betas[0], b2=betas[1], eps=eps))
+    return optax.chain(*chain)
+
+
+def make_gan_train_step(
+    model,
+    discriminator,
+    optimizer_g: optax.GradientTransformation,
+    optimizer_d: optax.GradientTransformation,
+    gen_train_interval: int = 1,
+    disc_train_interval: int = 1,
+    precision=None,
+):
+    """Build the jittable GAN step. `model` is Encodec (or FreqCodec)."""
+
+    def disc_turn(state: GANTrainState, speech, key):
+        def loss_fn(disc_params):
+            return model.forward_discriminator(
+                state.params, disc_params, discriminator, state.rvq_state,
+                speech, key, state.gen_loss_carry, precision=precision,
+            )
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.disc_params
+        )
+        updates, new_opt = optimizer_d.update(grads, state.opt_state_d, state.disc_params)
+        new_disc_params = optax.apply_updates(state.disc_params, updates)
+        state = state.replace(
+            disc_params=new_disc_params,
+            opt_state_d=new_opt,
+            rvq_state=out["rvq_state"],
+            gen_loss_carry=jnp.float32(0.0),  # reset after disc turn (codec_basic.py:650)
+        )
+        return state, out["stats"]
+
+    def gen_turn(state: GANTrainState, speech, key):
+        def loss_fn(params):
+            return model.forward_generator(
+                params, state.disc_params, discriminator, state.rvq_state,
+                speech, key, precision=precision,
+            )
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer_g.update(grads, state.opt_state_g, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            params=new_params,
+            opt_state_g=new_opt,
+            rvq_state=out["rvq_state"],
+            gen_loss_carry=state.gen_loss_carry + out["gen_loss"],
+        )
+        return state, out["stats"]
+
+    def train_step(state: GANTrainState, batch: Dict[str, jnp.ndarray], rng):
+        speech = batch["speech"]
+        d_key, g_key = jax.random.split(jax.random.fold_in(rng, state.step))
+        stats: Dict[str, jnp.ndarray] = {}
+
+        run_disc = (state.step % disc_train_interval) == 0
+        if disc_train_interval == 1:
+            state, d_stats = disc_turn(state, speech, d_key)
+        else:
+            state, d_stats = lax.cond(
+                run_disc,
+                lambda s: disc_turn(s, speech, d_key),
+                lambda s: (s, _zero_like_disc_stats()),
+                state,
+            )
+        stats.update(d_stats)
+
+        run_gen = (state.step % gen_train_interval) == 0
+        if gen_train_interval == 1:
+            state, g_stats = gen_turn(state, speech, g_key)
+        else:
+            state, g_stats = lax.cond(
+                run_gen,
+                lambda s: gen_turn(s, speech, g_key),
+                lambda s: (s, _zero_like_gen_stats()),
+                state,
+            )
+        stats.update(g_stats)
+
+        state = state.replace(step=state.step + 1)
+        return state, stats
+
+    return train_step
+
+
+def _zero_like_disc_stats():
+    z = jnp.float32(0.0)
+    return dict(discriminator_total_loss=z, discriminator_loss=z)
+
+
+def _zero_like_gen_stats():
+    z = jnp.float32(0.0)
+    return dict(
+        generator_loss=z,
+        generator_recon_loss=z,
+        generator_multi_spectral_recon_loss=z,
+        generator_adv_loss=z,
+        generator_feat_match_loss=z,
+        generator_commit_loss=z,
+        generator_enc_quant_loss=z,
+    )
