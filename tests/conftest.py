@@ -7,16 +7,17 @@ Multi-device sharding tests run on an emulated 8-device CPU mesh
 
 import os
 
+# NOTE: this environment's sitecustomize imports jax at interpreter startup,
+# so env vars alone are too late — use runtime config updates (safe as long
+# as no backend has been initialized yet, which sitecustomize does not do).
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import sys  # noqa: E402
 
