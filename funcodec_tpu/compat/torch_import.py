@@ -29,10 +29,14 @@ Array = np.ndarray
 
 
 def _np(x) -> Array:
-    """torch tensor / array -> float32-preserving numpy array."""
+    """torch tensor / array -> owned numpy array.
+
+    Always copies: jnp.asarray on the CPU backend is zero-copy, and aliasing
+    torch-owned memory breaks if the module is later mutated in place.
+    """
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x)
+    return np.array(x, copy=True)
 
 
 def fuse_torch_weight_norm(g: Array, v: Array) -> Array:

@@ -36,11 +36,13 @@ def _make_ref(torch, n_q=4, bins=64, dim=16, decay=0.9, dropout=False, rand_num_
 
 
 def _state_from_ref(m) -> RVQState:
+    # np.array(..., copy=True): on the CPU backend jnp.asarray is zero-copy,
+    # and the reference forward mutates these buffers in place.
     return RVQState(
-        inited=jnp.asarray(m.inited.detach().numpy().reshape(-1)),
-        cluster_size=jnp.asarray(m.cluster_size.detach().numpy()),
-        embed=jnp.asarray(m.embed.detach().numpy()),
-        embed_avg=jnp.asarray(m.embed_avg.detach().numpy()),
+        inited=jnp.asarray(np.array(m.inited.detach().numpy().reshape(-1), copy=True)),
+        cluster_size=jnp.asarray(np.array(m.cluster_size.detach().numpy(), copy=True)),
+        embed=jnp.asarray(np.array(m.embed.detach().numpy(), copy=True)),
+        embed_avg=jnp.asarray(np.array(m.embed_avg.detach().numpy(), copy=True)),
     )
 
 
