@@ -343,10 +343,12 @@ class Encodec:
             disc_params_sg, lax.stop_gradient(orig), precision=precision
         )
         adv_losses, feat_losses = [], []
+        fm_start = getattr(cfg, "feat_match_layer_start", -1)
         for (real_logits, real_fmap), (fake_logits, fake_fmap) in zip(real_outs, fake_outs):
             adv_losses.append(jnp.mean(jax.nn.relu(1.0 - fake_logits)))
-            for rf, ff in zip(real_fmap, fake_fmap):
-                feat_losses.append(jnp.mean(jnp.abs(lax.stop_gradient(rf) - ff)))
+            for li, (rf, ff) in enumerate(zip(real_fmap, fake_fmap)):
+                if li >= fm_start:  # codec_freq.py:530-532 (default -1 = all)
+                    feat_losses.append(jnp.mean(jnp.abs(lax.stop_gradient(rf) - ff)))
         adversarial_loss = jnp.mean(jnp.stack(adv_losses))
         feat_match_loss = jnp.mean(jnp.stack(feat_losses))
 

@@ -134,6 +134,11 @@ def build_codec_model(config: Dict[str, Any]):
 
         fc_kw = _filter_fields(FreqCodecConfig, model_conf)
         fc_kw["input_size"] = input_size
+        domain_conf = model_conf.get("domain_conf", {}) or {}
+        if "n_fft" in domain_conf:
+            fc_kw["domain_n_fft"] = domain_conf["n_fft"]
+        if "hop_length" in domain_conf:
+            fc_kw["domain_hop_length"] = domain_conf["hop_length"]
         model = FreqCodec(FreqCodecConfig(**fc_kw), encoder, quantizer, decoder)
     else:
         raise ValueError(f"unknown model {model_name}")
