@@ -1,0 +1,134 @@
+"""Codec training CLI: config.yaml + wav.scp -> trained checkpoints.
+
+Behavioral reference: funcodec/bin/codec_train.py:9-48 +
+GANSpeechCodecTask.main_worker (tasks/abs_task.py:1152-1442): build model
+from config, dump the resolved config.yaml (round-trip contract), train.
+
+The reference forks one process per GPU; here one process drives all local
+TPU devices through a data-parallel Mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+from funcodec_tpu.data.dataset import CodecDataset
+from funcodec_tpu.data.preprocessor import CodecPreprocessor
+from funcodec_tpu.tasks.codec import build_codec_model, load_config
+from funcodec_tpu.train.gan_trainer import GANCodecTrainer, TrainerOptions
+
+
+def build_datasets(args, config):
+    preprocess = None
+    if config.get("use_preprocessor", True):
+        preprocess = CodecPreprocessor(
+            train=True,
+            speech_max_length=config.get("speech_max_length", -1),
+            rir_scp=config.get("rir_scp"),
+            noise_scp=config.get("noise_scp"),
+        )
+    valid_preprocess = CodecPreprocessor(
+        train=False,
+        speech_max_length=config.get("valid_max_length", config.get("speech_max_length", -1)),
+    )
+    train = CodecDataset(
+        [(args.train_wav_scp, "speech", "sound")], preprocess=preprocess
+    )
+    valid = CodecDataset(
+        [(args.valid_wav_scp, "speech", "sound")], preprocess=valid_preprocess
+    )
+    return train, valid
+
+
+def make_mesh(batch_size: int):
+    """Data mesh over the largest device count that divides the batch."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(devices[:n]), axis_names=("data",))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU codec training")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--train_wav_scp", type=str, required=True)
+    parser.add_argument("--valid_wav_scp", type=str, required=True)
+    parser.add_argument("--resume", type=lambda s: s.lower() == "true", default=True)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--max_epoch", type=int, default=None)
+    parser.add_argument("--num_iters_per_epoch", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+
+    config = load_config(args.config)
+    for field in ("seed", "max_epoch", "num_iters_per_epoch", "batch_size"):
+        v = getattr(args, field)
+        if v is not None:
+            config[field] = v
+
+    model, discriminator = build_codec_model(config)
+
+    options = TrainerOptions(
+        output_dir=args.output_dir,
+        max_epoch=config.get("max_epoch", 60),
+        num_iters_per_epoch=config.get("num_iters_per_epoch"),
+        batch_size=config.get("batch_size", 16),
+        drop_last=config.get("drop_last", True),
+        seed=config.get("seed", 0),
+        log_interval=config.get("log_interval", 50),
+        keep_nbest_models=config.get("keep_nbest_models", 60),
+        best_model_criterion=tuple(config.get(
+            "best_model_criterion",
+            [["valid", "generator_multi_spectral_recon_loss", "min"]],
+        )[0]),
+        patience=config.get("patience"),
+        resume=args.resume,
+        max_update=config.get("max_update"),
+        num_workers=config.get("num_workers", 8),
+        gen_train_interval=config.get("gen_train_interval", 1),
+        disc_train_interval=config.get("disc_train_interval", 1),
+        optim_conf=config.get("optim_conf", {}),
+        optim2_conf=config.get("optim2_conf", {}),
+        grad_clip=config.get("grad_clip", -1),
+        disc_grad_clip=config.get("disc_grad_clip", -1),
+        sampling_rate=config.get("sampling_rate", 16000),
+    )
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    # config round-trip: the dumped file reconstructs the model at inference
+    # (abs_task.py:1282-1297)
+    import yaml
+
+    with open(out / "config.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+
+    train_ds, valid_ds = build_datasets(args, config)
+    logging.info("train: %d utts, valid: %d utts", len(train_ds), len(valid_ds))
+
+    mesh = make_mesh(options.batch_size)
+    trainer = GANCodecTrainer(model, discriminator, options, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(options.seed))
+    trainer.run(state, train_ds, valid_ds)
+
+
+if __name__ == "__main__":
+    main()

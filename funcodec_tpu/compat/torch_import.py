@@ -182,6 +182,31 @@ def import_encodec(sd: Mapping[str, Any], model) -> Any:
     return params, rvq_state
 
 
+def import_laura(sd: Mapping[str, Any], model) -> Dict[str, Any]:
+    """Import a LauraGenModel checkpoint (laura_model.py:58-146 naming)."""
+    from funcodec_tpu.models.transformer import import_encoder as imp_enc
+
+    def lin(name):
+        p = {"w": jnp.asarray(_np(sd[f"{name}.weight"]).T)}
+        if f"{name}.bias" in sd:
+            p["b"] = jnp.asarray(_np(sd[f"{name}.bias"]))
+        return p
+
+    params: Dict[str, Any] = {}
+    if model.text_encoder_cfg is not None:
+        params["text_encoder"] = imp_enc(sd, "text_encoder", model.text_encoder_cfg)
+    params["text_enc_out_layer"] = lin("text_enc_out_layer")
+    if "token_embedding.weight" in sd:
+        params["token_embedding"] = jnp.asarray(_np(sd["token_embedding.weight"]))
+    params["lm_embedding"] = jnp.asarray(_np(sd["lm_embedding.weight"]))
+    params["codec_lm"] = imp_enc(sd, "codec_lm.encoder", model.codec_lm_cfg)
+    params["lm_decoder"] = lin("codec_lm.decoder")
+    params["codec_encoder"] = imp_enc(sd, "codec_encoder", model.codec_encoder_cfg)
+    params["codec_encoder_out_layer"] = lin("codec_encoder_out_layer")
+    params["quantizer_codebook"] = jnp.asarray(_np(sd["quantizer_codebook.embed"]))
+    return params
+
+
 def load_torch_state_dict(path: str) -> Dict[str, Any]:
     """Load a .pth state_dict to numpy without CUDA."""
     import torch

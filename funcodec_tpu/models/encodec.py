@@ -248,8 +248,12 @@ class Encodec:
 
     # -- training forwards (codec_basic.py:471-668) ---------------------------
 
-    def _reconstruct(self, params, rvq_state, speech, key, precision=None):
-        """Shared encode->RVQ(train)->decode. Returns (recon, aux)."""
+    def _reconstruct(self, params, rvq_state, speech, key, precision=None, training=True):
+        """Shared encode->RVQ->decode. Returns (recon, aux).
+
+        training=False (validation) uses the eval quantizer: no EMA updates,
+        no dropout — matching model.eval() semantics in the reference trainer.
+        """
         frames = self._encode(params, speech, precision=precision)
         codes = []
         commit_losses = []
@@ -258,9 +262,15 @@ class Encodec:
         state = rvq_state
         for i, (emb, scale) in enumerate(frames):
             sub_key = jax.random.fold_in(key, i)
-            quant_out, indices, commit, sub_quants, state = self.quantizer.train_forward(
-                params["quantizer"], state, emb, sub_key
-            )
+            if training:
+                quant_out, indices, commit, sub_quants, state = self.quantizer.train_forward(
+                    params["quantizer"], state, emb, sub_key
+                )
+            else:
+                quant_out, indices, sub_quants = self.quantizer.inference(
+                    params["quantizer"], state, emb
+                )
+                commit = jnp.float32(0.0)
             commit_losses.append(commit)
             # MSE then squared (codec_basic.py:509)
             mse = jnp.mean((quant_out.astype(jnp.float32) - emb.astype(jnp.float32)) ** 2)
@@ -315,6 +325,7 @@ class Encodec:
         speech: jnp.ndarray,  # (B, T)
         key: jax.Array,
         precision=None,
+        training: bool = True,
     ):
         """Generator turn (codec_basic.py:471-597).
 
@@ -325,7 +336,9 @@ class Encodec:
         """
         cfg = self.cfg
         orig = speech.astype(jnp.float32)
-        recon, aux = self._reconstruct(params, rvq_state, speech, key, precision=precision)
+        recon, aux = self._reconstruct(
+            params, rvq_state, speech, key, precision=precision, training=training
+        )
         recon = recon.astype(jnp.float32)
 
         recon_loss = jnp.mean(jnp.abs(orig - recon))
@@ -391,6 +404,7 @@ class Encodec:
         key: jax.Array,
         gen_loss_carry: jnp.ndarray,
         precision=None,
+        training: bool = True,
     ):
         """Discriminator turn (codec_basic.py:599-668).
 
@@ -401,7 +415,7 @@ class Encodec:
         """
         gen_params_sg = jax.tree_util.tree_map(lax.stop_gradient, params)
         recon, aux = self._reconstruct(
-            gen_params_sg, rvq_state, speech, key, precision=precision
+            gen_params_sg, rvq_state, speech, key, precision=precision, training=training
         )
         orig = speech.astype(jnp.float32)
         fake = lax.stop_gradient(recon.astype(jnp.float32))

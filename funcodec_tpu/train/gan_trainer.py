@@ -1,0 +1,333 @@
+"""GAN codec training loop: epochs, validation, checkpoints, n-best.
+
+Behavioral reference: funcodec/train/trainer.py (Trainer.run :186-517:
+resume, per-epoch validate, checkpoint/latest/best symlinks, n-best pruning
++ averaging) and funcodec/train/gan_trainer.py (:97-495: alternating turns,
+max_update stop, validation wav dumps).
+
+TPU design: ONE jitted train step (both turns inside) over a data-parallel
+mesh; the epoch loop is pure host orchestration. Checkpoints are single
+msgpack pytrees; batches stream through a threaded prefetch loader.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from funcodec_tpu.data.dataset import collate_fn
+from funcodec_tpu.data.loader import PrefetchLoader
+from funcodec_tpu.data.sampler import shuffle_batches_for_epoch, unsorted_batches
+from funcodec_tpu.train.checkpoint import (
+    load_train_state,
+    save_train_state,
+    save_weights,
+    update_symlink,
+)
+from funcodec_tpu.train.reporter import Reporter
+from funcodec_tpu.train.step import (
+    GANTrainState,
+    create_gan_train_state,
+    make_gan_train_step,
+    make_optimizer,
+)
+
+
+@dataclasses.dataclass
+class TrainerOptions:
+    """Mirrors the recipe training settings (encodec_16k_n32_600k_step.yaml:65-92)."""
+
+    output_dir: str = "exp/codec"
+    max_epoch: int = 60
+    num_iters_per_epoch: Optional[int] = 10000
+    batch_size: int = 16
+    drop_last: bool = True
+    seed: int = 0
+    log_interval: int = 50
+    keep_nbest_models: int = 60
+    best_model_criterion: Tuple[str, str, str] = (
+        "valid", "generator_multi_spectral_recon_loss", "min",
+    )
+    patience: Optional[int] = None
+    resume: bool = True
+    max_update: Optional[int] = None
+    num_workers: int = 8
+    save_ckpt_every_steps: Optional[int] = None
+    gen_train_interval: int = 1
+    disc_train_interval: int = 1
+    optim_conf: Dict[str, Any] = dataclasses.field(
+        default_factory=lambda: {"lr": 3e-4, "betas": (0.5, 0.9)}
+    )
+    optim2_conf: Dict[str, Any] = dataclasses.field(
+        default_factory=lambda: {"lr": 3e-4, "betas": (0.5, 0.9)}
+    )
+    grad_clip: float = -1.0
+    disc_grad_clip: float = -1.0
+    num_valid_dump_wavs: int = 5
+    sampling_rate: int = 16000
+
+
+class GANCodecTrainer:
+    def __init__(
+        self,
+        model,
+        discriminator,
+        options: TrainerOptions,
+        mesh=None,
+    ):
+        self.model = model
+        self.discriminator = discriminator
+        self.opt = options
+        self.mesh = mesh
+        self.reporter = Reporter()
+
+        o = options
+        self.optimizer_g = make_optimizer(
+            lr=o.optim_conf.get("lr", 3e-4),
+            betas=tuple(o.optim_conf.get("betas", (0.5, 0.9))),
+            grad_clip=o.grad_clip,
+        )
+        self.optimizer_d = make_optimizer(
+            lr=o.optim2_conf.get("lr", 3e-4),
+            betas=tuple(o.optim2_conf.get("betas", (0.5, 0.9))),
+            grad_clip=o.disc_grad_clip,
+        )
+        self._train_step = make_gan_train_step(
+            model, discriminator, self.optimizer_g, self.optimizer_d,
+            gen_train_interval=o.gen_train_interval,
+            disc_train_interval=o.disc_train_interval,
+        )
+        self._jit_train_step = None
+        self._jit_valid_step = None
+
+    # -- setup ---------------------------------------------------------------
+
+    def init_state(self, key) -> GANTrainState:
+        params, rvq_state = self.model.init(key)
+        disc_params = self.discriminator.init(jax.random.fold_in(key, 1))
+        return create_gan_train_state(
+            params, disc_params, rvq_state, self.optimizer_g, self.optimizer_d
+        )
+
+    def _shardings(self):
+        if self.mesh is None:
+            return None, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return (
+            NamedSharding(self.mesh, P()),
+            NamedSharding(self.mesh, P("data")),
+        )
+
+    def _get_train_step(self):
+        if self._jit_train_step is None:
+            rep, data_sh = self._shardings()
+            if rep is None:
+                self._jit_train_step = jax.jit(self._train_step)
+            else:
+                self._jit_train_step = jax.jit(
+                    self._train_step,
+                    in_shardings=(rep, {"speech": data_sh}, rep),
+                    out_shardings=(rep, rep),
+                )
+        return self._jit_train_step
+
+    def _get_valid_step(self):
+        if self._jit_valid_step is None:
+            model, disc = self.model, self.discriminator
+
+            def valid_step(state: GANTrainState, batch, rng):
+                speech = batch["speech"]
+                _, gout = model.forward_generator(
+                    state.params, state.disc_params, disc, state.rvq_state,
+                    speech, rng, training=False,
+                )
+                _, dout = model.forward_discriminator(
+                    state.params, state.disc_params, disc, state.rvq_state,
+                    speech, rng, jnp.float32(0.0), training=False,
+                )
+                stats = {**gout["stats"], **dout["stats"]}
+                return stats, gout["fake"]
+
+            rep, data_sh = self._shardings()
+            if rep is None:
+                self._jit_valid_step = jax.jit(valid_step)
+            else:
+                self._jit_valid_step = jax.jit(
+                    valid_step,
+                    in_shardings=(rep, {"speech": data_sh}, rep),
+                    out_shardings=(rep, rep),
+                )
+        return self._jit_valid_step
+
+    # -- loops ---------------------------------------------------------------
+
+    def train_one_epoch(self, state, loader, epoch: int, rng) -> Tuple[Any, Dict]:
+        sub = self.reporter.start_epoch("train")
+        step_fn = self._get_train_step()
+        o = self.opt
+        t_last = time.time()
+        for i, (keys, batch) in enumerate(loader):
+            dev_batch = {"speech": jnp.asarray(batch["speech"])}
+            state, stats = step_fn(state, dev_batch, rng)
+            if (i + 1) % o.log_interval == 0:
+                host_stats = {k: float(v) for k, v in stats.items()}
+                host_stats["iter_time"] = (time.time() - t_last) / o.log_interval
+                t_last = time.time()
+                sub.register(host_stats, weight=batch["speech"].shape[0])
+                logging.info(sub.log_message())
+            else:
+                sub.register(
+                    {k: float(v) for k, v in stats.items()},
+                    weight=batch["speech"].shape[0],
+                )
+            if o.max_update is not None and int(state.step) >= o.max_update:
+                logging.info("reached max_update=%d", o.max_update)
+                break
+            if o.save_ckpt_every_steps and int(state.step) % o.save_ckpt_every_steps == 0:
+                self._save_step_checkpoint(state)
+        self.reporter.finish_epoch(sub)
+        return state, sub.to_dict()
+
+    def validate(self, state, loader, epoch: int, rng) -> Dict[str, float]:
+        sub = self.reporter.start_epoch("valid")
+        valid_fn = self._get_valid_step()
+        dumped = 0
+        out_dir = Path(self.opt.output_dir) / "valid_wavs" / f"epoch{epoch}"
+        for keys, batch in loader:
+            stats, fake = valid_fn(
+                state, {"speech": jnp.asarray(batch["speech"])}, rng
+            )
+            sub.register(
+                {k: float(v) for k, v in stats.items()},
+                weight=batch["speech"].shape[0],
+            )
+            # dump a few real/fake pairs per epoch (gan_trainer.py:482-495)
+            if dumped < self.opt.num_valid_dump_wavs:
+                from funcodec_tpu.data.wav_io import save_audio
+
+                out_dir.mkdir(parents=True, exist_ok=True)
+                fake_np = np.asarray(fake, np.float32)
+                for b, key in enumerate(keys):
+                    if dumped >= self.opt.num_valid_dump_wavs:
+                        break
+                    save_audio(
+                        batch["speech"][b], out_dir / f"{key}_real.wav",
+                        self.opt.sampling_rate, rescale=True,
+                    )
+                    save_audio(
+                        fake_np[b], out_dir / f"{key}_fake.wav",
+                        self.opt.sampling_rate, rescale=True,
+                    )
+                    dumped += 1
+        self.reporter.finish_epoch(sub)
+        return sub.to_dict()
+
+    # -- checkpointing -------------------------------------------------------
+
+    def _ckpt_dir(self) -> Path:
+        p = Path(self.opt.output_dir)
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def _save_step_checkpoint(self, state):
+        path = self._ckpt_dir() / f"{int(state.step)}steps.ckpt"
+        save_train_state(str(path), state)
+
+    def _save_epoch(self, state, epoch: int) -> None:
+        d = self._ckpt_dir()
+        save_train_state(str(d / "checkpoint.ckpt"), state)
+        weights_path = d / f"{epoch}epoch.ckpt"
+        save_weights(str(weights_path), state.params, state.rvq_state)
+        update_symlink(str(weights_path), str(d / "latest.ckpt"))
+        with open(d / "reporter.json", "w") as f:
+            json.dump(self.reporter.state_dict(), f)
+
+        phase, key, mode = self.opt.best_model_criterion
+        if self.reporter.has(phase, key, epoch):
+            best = self.reporter.best_epoch(phase, key, mode)
+            if best == epoch:
+                update_symlink(
+                    str(weights_path), str(d / f"{phase}.{key}.best.ckpt")
+                )
+        # n-best pruning (trainer.py:403-509)
+        order = self.reporter.sort_epochs(phase, key, mode)
+        keep = set(order[: self.opt.keep_nbest_models])
+        keep.add(epoch)
+        for p in d.glob("*epoch.ckpt"):
+            e = int(p.name.replace("epoch.ckpt", ""))
+            if e not in keep:
+                p.unlink()
+
+    def resume(self, state_template) -> Tuple[Any, int]:
+        d = self._ckpt_dir()
+        ckpt = d / "checkpoint.ckpt"
+        start_epoch = 1
+        state = state_template
+        if self.opt.resume and ckpt.exists():
+            state = load_train_state(str(ckpt), state_template)
+            rep_file = d / "reporter.json"
+            if rep_file.exists():
+                with open(rep_file) as f:
+                    self.reporter.load_state_dict(json.load(f))
+                start_epoch = self.reporter.epoch + 1
+            logging.info("resumed from %s at epoch %d", ckpt, start_epoch)
+        return state, start_epoch
+
+    # -- entry ---------------------------------------------------------------
+
+    def run(
+        self,
+        state: GANTrainState,
+        train_dataset,
+        valid_dataset,
+        rng=None,
+    ) -> GANTrainState:
+        o = self.opt
+        rng = rng if rng is not None else jax.random.PRNGKey(o.seed)
+        state, start_epoch = self.resume(state)
+
+        train_ids = list(train_dataset.uttids)
+        valid_ids = list(valid_dataset.uttids)
+        phase, key, mode = o.best_model_criterion
+
+        for epoch in range(start_epoch, o.max_epoch + 1):
+            self.reporter.set_epoch(epoch)
+            batches = unsorted_batches(train_ids, o.batch_size, o.drop_last)
+            batches = shuffle_batches_for_epoch(batches, o.seed, epoch)
+            if o.num_iters_per_epoch:
+                reps = -(-o.num_iters_per_epoch // max(len(batches), 1))
+                batches = (batches * reps)[: o.num_iters_per_epoch]
+            loader = PrefetchLoader(
+                train_dataset, batches, collate_fn, num_workers=o.num_workers
+            )
+            state, train_stats = self.train_one_epoch(state, loader, epoch, rng)
+
+            v_batches = unsorted_batches(valid_ids, o.batch_size, drop_last=False)
+            v_loader = PrefetchLoader(
+                valid_dataset, v_batches, collate_fn, num_workers=o.num_workers
+            )
+            self.validate(state, v_loader, epoch, rng)
+            self._save_epoch(state, epoch)
+            logging.info(
+                "epoch %d done: train=%s valid=%s", epoch,
+                {k: round(v, 4) for k, v in list(train_stats.items())[:4]},
+                {k: round(v, 4) for k, v in list(self.reporter.stats[epoch].get("valid", {}).items())[:4]},
+            )
+            if o.patience is not None and self.reporter.check_early_stopping(
+                o.patience, phase, key, mode
+            ):
+                logging.info("early stopping at epoch %d", epoch)
+                break
+            if o.max_update is not None and int(state.step) >= o.max_update:
+                break
+        return state
