@@ -46,6 +46,9 @@ def load_codec_json(json_str: str) -> np.ndarray:
     return array.T
 
 
+_UNSET = object()
+
+
 class Speech2Token:
     """Codec model wrapper with run_mod in {inference, encode, decode, decode_emb}."""
 
@@ -131,14 +134,18 @@ class Speech2Token:
         self,
         speech: np.ndarray,
         need_recon: bool = True,
-        bit_width: Optional[int] = None,
+        bit_width=_UNSET,
         use_scale: bool = True,
         run_mod: str = "inference",
     ):
         """One batch. speech: (B, T) waveform, or (B, T, n_q) tokens for
         decode, or (B, T, D) embeddings for decode_emb
-        (codec_inference.py:86-134)."""
-        bit_width = bit_width if bit_width is not None else self.bit_width
+        (codec_inference.py:86-134).
+
+        bit_width: omit for the constructor default; pass None explicitly for
+        ALL quantizers."""
+        if bit_width is _UNSET:
+            bit_width = self.bit_width
         if run_mod == "decode":
             nq = None
             if bit_width is not None:

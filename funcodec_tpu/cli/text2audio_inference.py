@@ -1,0 +1,221 @@
+"""LauraTTS inference: text (+ optional prompt audio) -> waveform.
+
+Behavioral reference: funcodec/bin/text2audio_inference.py (Text2Audio
+:31-197: composes LauraGenModel with a Speech2Token codec model; zero-shot
+continual mode encodes prompt audio to a codec prefix; outputs both `gen`
+(non-AR dense path) and `gen_only_lm` (AR tokens decoded by the codec)).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from funcodec_tpu.cli.codec_inference import Speech2Token
+from funcodec_tpu.data.text import Text2AudioPreprocessor, TokenIDConverter, build_tokenizer
+from funcodec_tpu.data.wav_io import read_2column_text, read_wav, resample, save_audio
+from funcodec_tpu.tasks.text2audio import build_laura_model
+
+
+class Text2Audio:
+    """Composed TTS pipeline (text2audio_inference.py:31-197)."""
+
+    def __init__(
+        self,
+        config_file: str,
+        model_file: str,
+        codec_config_file: str,
+        codec_model_file: str,
+        token_list: Optional[str] = None,
+        token_type: Optional[str] = None,
+        sampling: Union[bool, int, float] = 25,  # top-k 25 like the demo
+        seed: int = 0,
+    ):
+        with open(config_file) as f:
+            self.config = yaml.safe_load(f)
+        tokens = None
+        if token_list:
+            with open(token_list, encoding="utf-8") as f:
+                tokens = [line.strip() for line in f if line.strip()]
+        self.model = build_laura_model(self.config, token_list=tokens)
+        self.tokenizer = (
+            build_tokenizer(token_type) if token_type and tokens else None
+        )
+        self.converter = TokenIDConverter(tokens) if tokens else None
+
+        if model_file and os.path.exists(model_file):
+            if model_file.endswith((".pth", ".pt", ".bin")):
+                from funcodec_tpu.compat.torch_import import (
+                    import_laura,
+                    load_torch_state_dict,
+                )
+
+                self.params = import_laura(load_torch_state_dict(model_file), self.model)
+            else:
+                from funcodec_tpu.train.checkpoint import load_params
+
+                self.params = load_params(
+                    model_file, self.model.init(jax.random.PRNGKey(0))
+                )
+        else:
+            logging.warning("no LM checkpoint %s; random init", model_file)
+            self.params = self.model.init(jax.random.PRNGKey(0))
+
+        self.codec = Speech2Token(codec_config_file, codec_model_file)
+        self.sampling = sampling
+        self.key = jax.random.PRNGKey(seed)
+        self.codec_token_rate = self.config.get("codec_token_rate", 25)
+        self.max_duration = self.config.get("audio_max_duration", 30)
+
+    def _text_to_features(self, text: Union[str, np.ndarray]):
+        """Raw text -> token ids (phoneme/char) or passthrough embeddings."""
+        if isinstance(text, str):
+            assert self.tokenizer is not None and self.converter is not None, (
+                "string inputs need --token_list/--token_type (or precomputed ids)"
+            )
+            ids = self.converter.tokens2ids(self.tokenizer.text2tokens(text))
+            return np.asarray(ids, np.int64)[None, :]
+        text = np.asarray(text)
+        if text.ndim == 1:
+            return text[None, :]
+        return text[None] if text.ndim == 2 and self.model.cfg.vocab_size == 0 else text
+
+    def __call__(
+        self,
+        text: Union[str, np.ndarray],
+        prompt_text: Optional[Union[str, np.ndarray]] = None,
+        prompt_audio: Optional[np.ndarray] = None,
+        max_length: Optional[int] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Returns {'gen': wav, 'gen_only_lm': wav} (:137-197)."""
+        cfg = self.model.cfg
+        continual = None
+        continual_length = None
+        feats = self._text_to_features(text)
+        if prompt_audio is not None:
+            # zero-shot: prompt tokens become the codec prefix (:154-162)
+            token_id, *_ = self.codec(
+                prompt_audio[None, :], run_mod="encode", bit_width=None
+            )
+            prompt_tokens = np.asarray(token_id[0])[: cfg.predict_nq, 0, :].T
+            continual = prompt_tokens.astype(np.int64)
+            continual_length = continual.shape[0]
+            if prompt_text is not None:
+                pt = self._text_to_features(prompt_text)
+                feats = np.concatenate([pt, feats], axis=1)
+
+        if feats.dtype.kind in "iu":
+            text_in = jnp.asarray(feats, jnp.int32)
+        else:
+            text_in = jnp.asarray(feats, jnp.float32)
+        text_lengths = jnp.asarray([feats.shape[1]])
+
+        self.key, d_key = jax.random.split(self.key)
+        max_len = max_length or int(self.max_duration * self.codec_token_rate)
+        tokens = self.model.decode_codec(
+            self.params, text_in, text_lengths,
+            max_length=max_len, sampling=self.sampling,
+            key=d_key, continual=continual,
+        )  # (1, T, predict_nq)
+
+        # gen_only_lm: decode the AR tokens directly with the codec (:180-184)
+        gen_start = continual_length or 0
+        lm_tokens = tokens[:, gen_start:, :]
+        if lm_tokens.shape[1] == 0:
+            empty = np.zeros((0,), np.float32)
+            return {"gen": empty, "gen_only_lm": empty}
+        _, _, recon_lm, _ = self.codec(lm_tokens, run_mod="decode", bit_width=None)
+
+        # gen: non-AR dense embedding -> decode_emb (:187-190)
+        def decode_emb(emb):
+            _, _, wav, _ = self.codec(np.asarray(emb), run_mod="decode_emb")
+            return wav
+
+        recon = self.model.syn_audio(
+            self.params, jnp.asarray(tokens), text_in, text_lengths,
+            decode_emb, continual_length=gen_start,
+        )
+        return {
+            "gen": np.asarray(recon)[0],
+            "gen_only_lm": np.asarray(recon_lm)[0],
+        }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU LauraTTS inference")
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--config_file", type=str, required=True)
+    parser.add_argument("--model_file", type=str, required=True)
+    parser.add_argument("--codec_config_file", type=str, required=True)
+    parser.add_argument("--codec_model_file", type=str, required=True)
+    parser.add_argument("--text_scp", type=str, required=True,
+                        help="uttid -> text (or token ids with --text_type ids)")
+    parser.add_argument("--text_type", type=str, default="text", choices=["text", "ids"])
+    parser.add_argument("--token_list", type=str, default=None)
+    parser.add_argument("--token_type", type=str, default=None)
+    parser.add_argument("--prompt_wav_scp", type=str, default=None)
+    parser.add_argument("--prompt_text_scp", type=str, default=None)
+    parser.add_argument("--sampling", type=str, default="25",
+                        help="true/false, int top-k, or float top-p")
+    parser.add_argument("--sampling_rate", type=int, default=16000)
+    args = parser.parse_args(argv)
+
+    s = args.sampling
+    if s.lower() in ("true", "false"):
+        sampling: Union[bool, int, float] = s.lower() == "true"
+    elif "." in s:
+        sampling = float(s)
+    else:
+        sampling = int(s)
+
+    logging.basicConfig(level=logging.INFO)
+    pipeline = Text2Audio(
+        args.config_file, args.model_file,
+        args.codec_config_file, args.codec_model_file,
+        token_list=args.token_list, token_type=args.token_type,
+        sampling=sampling,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    texts = read_2column_text(args.text_scp)
+    prompts_wav = read_2column_text(args.prompt_wav_scp) if args.prompt_wav_scp else {}
+    prompts_text = read_2column_text(args.prompt_text_scp) if args.prompt_text_scp else {}
+
+    for key, text in texts.items():
+        if args.text_type == "ids":
+            text = np.array([int(x) for x in text.split()], np.int64)
+        prompt_audio = None
+        if key in prompts_wav:
+            sr, wav = read_wav(prompts_wav[key])
+            if wav.ndim == 2:
+                wav = wav[:, 0]
+            if sr != args.sampling_rate:
+                wav = resample(wav, sr, args.sampling_rate)
+            prompt_audio = wav
+        out = pipeline(
+            text,
+            prompt_text=prompts_text.get(key),
+            prompt_audio=prompt_audio,
+        )
+        for tag, wav in out.items():
+            if wav.size:
+                save_audio(
+                    wav, os.path.join(args.output_dir, f"{key}_{tag}.wav"),
+                    args.sampling_rate, rescale=True,
+                )
+        logging.info("%s: gen %.2fs, gen_only_lm %.2fs", key,
+                     out["gen"].size / args.sampling_rate,
+                     out["gen_only_lm"].size / args.sampling_rate)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Text tokenization: char/word tokenizers, token-id conversion, g2p gateway.
+
+Behavioral reference: funcodec/text/ (build_tokenizer, CharTokenizer,
+WordTokenizer, TokenIDConverter, phoneme_tokenizer.G2p_en :209) and
+Text2AudioPreprocessor (datasets/preprocessor.py:947-1034).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Union
+
+import numpy as np
+
+
+class CharTokenizer:
+    def __init__(self, space_symbol: str = "<space>", non_linguistic_symbols=()):
+        self.space_symbol = space_symbol
+        self.non_linguistic_symbols = set(non_linguistic_symbols or ())
+
+    def text2tokens(self, line: str) -> List[str]:
+        tokens = []
+        while line:
+            for w in self.non_linguistic_symbols:
+                if line.startswith(w):
+                    tokens.append(w)
+                    line = line[len(w):]
+                    break
+            else:
+                t = line[0]
+                tokens.append(self.space_symbol if t == " " else t)
+                line = line[1:]
+        return tokens
+
+    def tokens2text(self, tokens: Iterable[str]) -> str:
+        return "".join(" " if t == self.space_symbol else t for t in tokens)
+
+
+class WordTokenizer:
+    def __init__(self, delimiter: Optional[str] = None):
+        self.delimiter = delimiter
+
+    def text2tokens(self, line: str) -> List[str]:
+        return line.split(self.delimiter)
+
+    def tokens2text(self, tokens: Iterable[str]) -> str:
+        return (self.delimiter or " ").join(tokens)
+
+
+class PhonemeTokenizer:
+    """g2p_en-backed phoneme tokenizer (phoneme_tokenizer.py:209).
+
+    g2p_en is not available in every environment; construction raises with a
+    clear message, and precomputed phoneme strings can use WordTokenizer.
+    """
+
+    def __init__(self, g2p_type: str = "g2p_en"):
+        try:
+            from g2p_en import G2p  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "g2p_en is not installed; precompute phonemes and feed them as "
+                "space-separated tokens (token_type='word') instead"
+            ) from e
+        self.g2p = G2p()
+
+    def text2tokens(self, line: str) -> List[str]:
+        return [p for p in self.g2p(line) if p != " "]
+
+
+def build_tokenizer(
+    token_type: str,
+    space_symbol: str = "<space>",
+    non_linguistic_symbols=None,
+    delimiter: Optional[str] = None,
+    g2p_type: Optional[str] = None,
+    **_unused,
+):
+    if token_type == "char":
+        return CharTokenizer(space_symbol, non_linguistic_symbols)
+    if token_type == "word":
+        return WordTokenizer(delimiter)
+    if token_type == "phn":
+        return PhonemeTokenizer(g2p_type or "g2p_en")
+    raise ValueError(f"unsupported token_type {token_type}")
+
+
+class TokenIDConverter:
+    def __init__(self, token_list: Union[str, Path, List[str]], unk_symbol: str = "<unk>"):
+        if isinstance(token_list, (str, Path)):
+            with open(token_list, encoding="utf-8") as f:
+                token_list = [line.rstrip("\n").split(maxsplit=1)[0] for line in f if line.strip()]
+        self.token_list = list(token_list)
+        self.token2id = {t: i for i, t in enumerate(self.token_list)}
+        self.unk_symbol = unk_symbol
+        self.unk_id = self.token2id.get(unk_symbol)
+
+    def get_num_vocabulary_size(self) -> int:
+        return len(self.token_list)
+
+    def tokens2ids(self, tokens: Iterable[str]) -> List[int]:
+        if self.unk_id is not None:
+            return [self.token2id.get(t, self.unk_id) for t in tokens]
+        return [self.token2id[t] for t in tokens]
+
+    def ids2tokens(self, ids: Iterable[int]) -> List[str]:
+        return [self.token_list[i] for i in ids]
+
+
+class Text2AudioPreprocessor:
+    """Random codec crop + text tokenization (preprocessor.py:947-1034)."""
+
+    def __init__(
+        self,
+        train: bool,
+        audio_max_duration: int = 30,
+        codec_token_rate: int = 25,
+        text_name: str = "text",
+        codec_name: str = "codec",
+        token_list=None,
+        token_type: Optional[str] = None,
+        g2p_type: Optional[str] = None,
+        rng: Optional[np.random.RandomState] = None,
+        **tokenizer_kwargs,
+    ):
+        self.train = train
+        self.audio_max_duration = audio_max_duration
+        self.codec_token_rate = codec_token_rate
+        self.text_name = text_name
+        self.codec_name = codec_name
+        self.rng = rng or np.random.RandomState()
+        self.token_list: List[str] = []
+        if token_list is not None:
+            if isinstance(token_list, list):
+                self.token_list = token_list
+            elif os.path.exists(str(token_list)):
+                with open(token_list, encoding="utf-8") as f:
+                    self.token_list = [line.strip() for line in f]
+        self.tokenizer = None
+        self.converter = None
+        if token_type is not None and self.token_list:
+            self.tokenizer = build_tokenizer(token_type, g2p_type=g2p_type, **tokenizer_kwargs)
+            self.converter = TokenIDConverter(self.token_list)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.token_list)
+
+    def __call__(self, uid: str, data: Dict) -> Dict:
+        if self.codec_name in data:
+            codec = np.asarray(data[self.codec_name]).astype(np.int64)
+            max_len = int(self.audio_max_duration * self.codec_token_rate)
+            if codec.shape[0] > max_len:
+                st = int(self.rng.randint(0, codec.shape[0] - max_len + 1))
+                codec = codec[st : st + max_len]
+            data[self.codec_name] = codec
+        if self.text_name in data and self.tokenizer is not None:
+            text = data[self.text_name]
+            if isinstance(text, str):
+                tokens = self.tokenizer.text2tokens(text)
+                data[self.text_name] = np.array(
+                    self.converter.tokens2ids(tokens), dtype=np.int64
+                )
+        return data

@@ -28,13 +28,23 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_weights(path: str, params: Any, rvq_state: RVQState) -> None:
-    payload = {"params": _to_host(params), "rvq_state": _to_host(rvq_state)}
+def save_weights(path: str, params: Any, rvq_state: Optional[RVQState]) -> None:
+    payload = {"params": _to_host(params)}
+    if rvq_state is not None:
+        payload["rvq_state"] = _to_host(rvq_state)
     data = serialization.to_bytes(payload)
     tmp = str(path) + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+def load_params(path: str, params_template: Any) -> Any:
+    """Restore a params-only weights file (e.g. Laura checkpoints)."""
+    template = {"params": _to_host(params_template)}
+    with open(path, "rb") as f:
+        restored = serialization.from_bytes(template, f.read())
+    return restored["params"]
 
 
 def load_checkpoint_params(path: str, model) -> Tuple[Any, RVQState]:

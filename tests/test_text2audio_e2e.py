@@ -1,0 +1,183 @@
+"""End-to-end LauraTTS: codec tokens -> LM training CLI -> TTS inference CLI.
+
+Mirrors the text2speech_laura recipe: extract codec tokens with the codec
+model, train the LM with grafted codebooks, synthesize (free + zero-shot)."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+
+N_Q, BINS, DIM = 4, 64, 32
+HOP = 8
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def tts_env(tmp_path_factory):
+    import jax
+
+    root = tmp_path_factory.mktemp("tts")
+
+    # --- tiny codec model (native checkpoint) ---
+    codec_config = {
+        "input_size": 1,
+        "encoder": "encodec_seanet_encoder",
+        "encoder_conf": {"n_filters": 8, "ratios": [4, 2], "norm": "time_group_norm"},
+        "quantizer": "costume_quantizer",
+        "quantizer_conf": {
+            "codebook_size": BINS, "num_quantizers": N_Q, "ema_decay": 0.99,
+            "kmeans_init": False, "sampling_rate": SR, "encoder_hop_length": HOP,
+        },
+        "decoder": "encodec_seanet_decoder",
+        "decoder_conf": {"n_filters": 8, "ratios": [4, 2], "norm": "time_group_norm"},
+        "model": "encodec",
+        "model_conf": {"odim": DIM, "target_sample_hz": SR, "audio_normalize": True,
+                       "segment_dur": None, "overlap_ratio": None},
+    }
+    with open(root / "codec_config.yaml", "w") as f:
+        yaml.safe_dump(codec_config, f)
+    from funcodec_tpu.tasks.codec import build_codec_model
+    from funcodec_tpu.train.checkpoint import save_weights
+
+    codec_model, _ = build_codec_model(codec_config)
+    codec_params, rvq_state = codec_model.init(jax.random.PRNGKey(0))
+    save_weights(str(root / "codec.ckpt"), codec_params, rvq_state)
+
+    # --- synthetic corpus: wavs -> codec tokens (ark), random token texts ---
+    from funcodec_tpu.data.wav_io import write_wav
+    from funcodec_tpu.cli.codec_inference import inference_pipeline
+
+    rng = np.random.RandomState(0)
+    (root / "wavs").mkdir()
+    lines = []
+    for i in range(4):
+        t = 512 + 128 * i
+        w = (0.3 * np.sin(2 * np.pi * (150 + 30 * i) * np.arange(t) / SR)).astype(np.float32)
+        p = root / "wavs" / f"u{i}.wav"
+        write_wav(p, w, SR)
+        lines.append(f"u{i} {p}")
+    (root / "wav.scp").write_text("\n".join(lines) + "\n")
+
+    inference_pipeline(
+        output_dir=str(root / "tokens"),
+        config_file=str(root / "codec_config.yaml"),
+        model_file=str(root / "codec.ckpt"),
+        data_path_and_name_and_type=[(str(root / "wav.scp"), "speech", "sound")],
+        batch_size=2, bit_width=None, run_mod="encode", indices_save_type="ark",
+    )
+
+    with open(root / "text.scp", "w") as f:
+        for i in range(4):
+            ids = " ".join(str(x) for x in rng.randint(0, 10, 5 + i))
+            f.write(f"u{i} {ids}\n")
+
+    # --- Laura config (tiny) ---
+    laura_config = {
+        "input_size": 16,
+        "audio_max_duration": 2,
+        "codec_token_rate": SR // HOP,
+        "text_encoder": "conformer",
+        "text_encoder_conf": {
+            "output_size": 32, "attention_heads": 4, "linear_units": 48,
+            "num_blocks": 2, "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+            "attention_dropout_rate": 0.0, "input_layer": "linear",
+            "normalize_before": True, "rel_pos_type": "latest",
+            "pos_enc_layer_type": "rel_pos", "selfattention_layer_type": "rel_selfattn",
+            "use_cnn_module": False,
+        },
+        "codec_encoder": "conformer",
+        "codec_encoder_conf": {
+            "output_size": 32, "attention_heads": 4, "linear_units": 48,
+            "num_blocks": 2, "dropout_rate": 0.0, "input_layer": "linear",
+            "use_cnn_module": False, "pos_enc_layer_type": "rel_pos",
+            "selfattention_layer_type": "rel_selfattn",
+        },
+        "model": "laura_gen_model",
+        "model_conf": {
+            "codec_sampling_ratio": 0.5, "lsm_weight": 0.0,
+            "length_normalized_loss": True, "predict_nq": 2,
+            "codec_conf": {"num_quantizers": N_Q, "codebook_size": BINS, "codebook_dim": DIM},
+            "codec_lm_conf": {
+                "name": "transformer", "pos_enc": "rel_pos",
+                "selfattention_layer_type": "rel_selfattn",
+                "embed_unit": DIM, "att_unit": 32, "head": 4, "unit": 48,
+                "layer": 2, "dropout_rate": 0.0, "pe_type": "uni",
+                "bidirectional_inputs": True, "codec_groups": 1,
+            },
+        },
+        "optim_conf": {"lr": 0.001},
+        "scheduler": "warmuplr",
+        "scheduler_conf": {"warmup_steps": 100},
+        "grad_clip": 5,
+        "max_epoch": 2,
+        "batch_bins": 400,
+        "log_interval": 1,
+        "keep_nbest_models": 2,
+    }
+    with open(root / "laura_config.yaml", "w") as f:
+        yaml.safe_dump(laura_config, f)
+
+    (root / "tokens.txt").write_text("".join(f"{i}\n" for i in range(10)))
+    return root
+
+
+def test_laura_train_cli(tts_env):
+    from funcodec_tpu.cli.text2audio_train import main
+
+    root = tts_env
+    main([
+        "--config", str(root / "laura_config.yaml"),
+        "--output_dir", str(root / "exp"),
+        "--train_text", str(root / "text.scp"),
+        "--train_codec", str(root / "tokens" / "indices.scp"),
+        "--valid_text", str(root / "text.scp"),
+        "--valid_codec", str(root / "tokens" / "indices.scp"),
+        "--token_list", str(root / "tokens.txt"),
+        "--token_type", "word",
+        "--codec_init_param", str(root / "codec.ckpt"),
+        "--codec_config", str(root / "codec_config.yaml"),
+    ])
+    out = root / "exp"
+    assert (out / "2epoch.ckpt").exists()
+    assert (out / "latest.ckpt").is_symlink()
+    assert (out / "valid.loss.best.ckpt").is_symlink()
+    import json
+
+    rep = json.loads((out / "reporter.json").read_text())
+    assert np.isfinite(rep["stats"]["2"]["train"]["loss"])
+
+
+def test_laura_inference_cli(tts_env):
+    from funcodec_tpu.cli.text2audio_inference import main
+    from funcodec_tpu.data.wav_io import read_wav
+
+    root = tts_env
+    assert (root / "exp" / "latest.ckpt").exists(), "train test must run first"
+
+    with open(root / "syn_text.scp", "w") as f:
+        f.write("s0 3 1 4 1 5\n")
+    # zero-shot prompt from training audio
+    with open(root / "prompt.scp", "w") as f:
+        f.write(f"s0 {root}/wavs/u0.wav\n")
+
+    main([
+        "--output_dir", str(root / "syn"),
+        "--config_file", str(root / "laura_config.yaml"),
+        "--model_file", str(root / "exp" / "latest.ckpt"),
+        "--codec_config_file", str(root / "codec_config.yaml"),
+        "--codec_model_file", str(root / "codec.ckpt"),
+        "--text_scp", str(root / "syn_text.scp"),
+        "--token_list", str(root / "tokens.txt"),
+        "--token_type", "word",
+        "--prompt_wav_scp", str(root / "prompt.scp"),
+        "--sampling", "5",
+    ])
+    wavs = sorted((root / "syn").glob("*.wav"))
+    assert wavs, "no synthesized wavs"
+    for w in wavs:
+        sr, x = read_wav(w)
+        assert sr == SR and np.isfinite(x).all()
