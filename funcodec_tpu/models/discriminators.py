@@ -223,16 +223,23 @@ class MultipleDiscriminator:
     """Name-registry container flattening all sub-discriminator outputs
     (multiple_discriminator.py:13-57)."""
 
-    REGISTRY = {
-        "encodec_multi_scale_stft_discriminator": MultiScaleSTFTDiscriminator,
-    }
+    @staticmethod
+    def registry():
+        from funcodec_tpu.models.discriminators_extra import EXTRA_DISC_REGISTRY
+
+        return {
+            "encodec_multi_scale_stft_discriminator": MultiScaleSTFTDiscriminator,
+            **EXTRA_DISC_REGISTRY,
+        }
 
     def __init__(self, input_size: int = 1, disc_conf_list: Sequence[Dict[str, Any]] = ()):
         self.discs = []
+        registry = self.registry()
         for conf in disc_conf_list:
             conf = dict(conf)
             name = conf.pop("name")
-            self.discs.append(self.REGISTRY[name](**conf))
+            conf.setdefault("in_channels", input_size)
+            self.discs.append(registry[name](**conf))
 
     def init(self, key):
         keys = jax.random.split(key, max(len(self.discs), 1))
@@ -241,5 +248,9 @@ class MultipleDiscriminator:
     def __call__(self, params, x: jnp.ndarray, precision=None):
         outs = []
         for d, p in zip(self.discs, params):
-            outs.extend(d(p, x, precision=precision))
+            ret = d(p, x, precision=precision)
+            if isinstance(ret, tuple):
+                outs.append(ret)
+            else:
+                outs.extend(ret)
         return outs
