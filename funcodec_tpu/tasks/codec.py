@@ -140,6 +140,16 @@ def build_codec_model(config: Dict[str, Any]):
         if "hop_length" in domain_conf:
             fc_kw["domain_hop_length"] = domain_conf["hop_length"]
         model = FreqCodec(FreqCodecConfig(**fc_kw), encoder, quantizer, decoder)
+    elif model_name == "codec_semantic_aug":
+        from funcodec_tpu.models.semantic import CodecSemanticAug, SemanticCodecConfig
+
+        sc_kw = _filter_fields(SemanticCodecConfig, model_conf)
+        sc_kw["input_size"] = input_size
+        ppg_conf = model_conf.get("ppg_conf", {}) or {}
+        for k in ("ppg_dim", "ppg_ds_rate", "ppg_ds_type", "ppg_usage_mod"):
+            if k in ppg_conf:
+                sc_kw[k] = ppg_conf[k]
+        model = CodecSemanticAug(SemanticCodecConfig(**sc_kw), encoder, quantizer, decoder)
     else:
         raise ValueError(f"unknown model {model_name}")
 
