@@ -45,6 +45,9 @@ class EncodecConfig:
     use_power_spec_loss: bool = False
     bypass_quantizer: bool = False
     codec_domain: str = "time"
+    # context loss (codec_basic.py:224-238); None disables it
+    context_loss_weight: float = 0.0
+    context_loss_conf: Optional[Tuple[Tuple[str, Any], ...]] = None
 
     @property
     def segment_length(self) -> Optional[int]:
@@ -96,6 +99,13 @@ class Encodec:
         self.quantizer = quantizer
         self.decoder = decoder
         self.sample_rate = cfg.target_sample_hz
+        self.context = None
+        if cfg.context_loss_weight > 0 and cfg.context_loss_conf is not None:
+            from funcodec_tpu.models.context import ContextConfig, ContextModule
+
+            conf = dict(cfg.context_loss_conf)
+            conf.setdefault("odim", cfg.odim)
+            self.context = ContextModule(ContextConfig(**conf))
 
     # -- init ---------------------------------------------------------------
 
@@ -107,6 +117,8 @@ class Encodec:
             "quantizer": q_params,
             "decoder": self.decoder.init(k_dec),
         }
+        if self.context is not None:
+            params["context"] = self.context.init(jax.random.fold_in(key, 7))
         return params, rvq_state
 
     # -- encode / decode ------------------------------------------------------
@@ -371,12 +383,29 @@ class Encodec:
             + adversarial_loss * cfg.adversarial_loss_weight
             + feat_match_loss * cfg.feat_match_loss_weight
         )
+        context_loss = jnp.float32(0.0)
+        context_pred_acc = jnp.float32(0.0)
+        if self.context is not None:
+            # first-quantizer masked-prediction / LM loss (codec_basic.py:511-514)
+            c_key = jax.random.fold_in(key, 101)
+            rvq = aux["rvq_state"]
+            for emb_i, idx_i, subq_i in zip(aux["embs"], aux["indices"], aux["sub_quants"]):
+                c_loss, c_acc = self.context.loss(
+                    params["context"], emb_i, idx_i[0], subq_i[0],
+                    lax.stop_gradient(rvq.embed[0]), c_key,
+                )
+                context_loss = context_loss + c_loss
+                context_pred_acc = context_pred_acc + c_acc / len(aux["embs"])
+
         loss = (
             gen_loss
             + aux["commit_loss"]
             + aux["enc_quant_loss"] * cfg.enc_quant_loss_weight
+            + context_loss * cfg.context_loss_weight
         )
         stats = dict(
+            context_loss=context_loss,
+            context_pred_acc=context_pred_acc,
             generator_loss=loss,
             generator_recon_loss=recon_loss,
             generator_multi_spectral_recon_loss=multi_spectral,

@@ -151,3 +151,42 @@ class Quantizer:
         """indices (n_q', B, T) -> (B, T, C) (costume_quantizer.py:114-119)."""
         out = rvq_decode(self.rvq_cfg, state, indices)
         return self._post(params, out)
+
+
+class IdentityQuantizer:
+    """Debug pass-through quantizer (identity_quantizer.py:5-23).
+
+    Matches the Quantizer interface; codebook state is an empty RVQState.
+    """
+
+    def __init__(self, cfg: Optional[QuantizerConfig] = None, input_size: int = 128, **_):
+        self.cfg = cfg or QuantizerConfig(input_size=input_size, num_quantizers=1)
+        self.rvq_cfg = self.cfg.rvq()
+
+    def init(self, key):
+        return {}, init_rvq_state(self.rvq_cfg)
+
+    def n_q_for_bandwidth(self, bandwidth):
+        return 1
+
+    def train_forward(self, params, state, x, key, bandwidth=None):
+        import jax.numpy as jnp
+
+        B, T, _ = x.shape
+        indices = jnp.zeros((1, B, T), jnp.int32)
+        return x, indices, jnp.float32(0.0), x[None], state
+
+    def inference(self, params, state, x, bandwidth=None):
+        import jax.numpy as jnp
+
+        B, T, _ = x.shape
+        return x, jnp.zeros((1, B, T), jnp.int32), x[None]
+
+    def encode(self, params, state, x, bandwidth=None):
+        import jax.numpy as jnp
+
+        B, T, _ = x.shape
+        return jnp.zeros((1, B, T), jnp.int32)
+
+    def decode(self, params, state, indices):
+        raise NotImplementedError("IdentityQuantizer has no codebooks to decode")

@@ -37,6 +37,15 @@ Params = Dict[str, jnp.ndarray]
 
 CONV_NORMS = ("none", "weight_norm", "time_group_norm", "layer_norm")
 
+# TPU lowering toggles (tuned end-to-end on v5e; see bench.py):
+# - strided downsample convs as time-folded matmuls (contraction K*Cin)
+# - transposed upsample convs as subpixel matmuls
+# - stride-1 convs stay on XLA's conv lowering (unfold's concat traffic
+#   loses at SEANet's long sequence lengths)
+MATMUL_STRIDED = True
+MATMUL_TRANSPOSED = True
+MATMUL_STRIDE1 = False
+
 
 def _as_pair(x) -> Tuple[int, int]:
     if isinstance(x, (tuple, list)):
@@ -179,6 +188,51 @@ def _apply_post_norm(spec: ConvSpec, params: Params, y: jnp.ndarray) -> jnp.ndar
 # ---------------------------------------------------------------------------
 
 
+def _conv1d_unfold_matmul(x, kernel, stride, dilation, precision):
+    """Stride-1-friendly conv as K stacked shifted views + ONE matmul.
+
+    x: (B, Tp, Cin) already padded; kernel (K, Cin, Cout). On TPU this feeds
+    the MXU with an inner dimension of K*Cin instead of XLA's small-channel
+    conv lowering, which is several times slower at SEANet's channel counts.
+    """
+    K, Cin, Cout = kernel.shape
+    B, Tp, _ = x.shape
+    Tout = (Tp - (K - 1) * dilation - 1) // stride + 1
+    cols = [
+        lax.slice(
+            x,
+            (0, k * dilation, 0),
+            (B, k * dilation + (Tout - 1) * stride + 1, Cin),
+            (1, stride, 1),
+        )
+        for k in range(K)
+    ]
+    xu = jnp.concatenate(cols, axis=-1)  # (B, Tout, K*Cin)
+    return jnp.matmul(xu, kernel.reshape(K * Cin, Cout), precision=precision)
+
+
+def _conv1d_strided_matmul(x, kernel, stride, precision):
+    """Strided conv with s | K via time-to-channel reshape + unfold matmul.
+
+    Folding the stride into channels makes the contraction dimension
+    K*Cin >= 128 for every SEANet downsample conv, so the whole layer is one
+    MXU matmul instead of XLA's strided-conv lowering.
+    """
+    K, Cin, Cout = kernel.shape
+    s = stride
+    assert K % s == 0
+    B, Tp, _ = x.shape
+    Tout = (Tp - K) // s + 1
+    taps = K // s
+    Tr = (Tout - 1 + taps) * s  # <= Tp by construction of the padding
+    xr = x[:, :Tr].reshape(B, Tr // s, s * Cin)
+    cols = [xr[:, j : j + Tout] for j in range(taps)]
+    xu = jnp.concatenate(cols, axis=-1)  # (B, Tout, K*Cin)
+    # tap ordering: y[t] = sum_{j,r} x[t*s + j*s + r] W[j*s + r]
+    w = kernel.reshape(taps, s * Cin, Cout).reshape(K * Cin, Cout)
+    return jnp.matmul(xu, w, precision=precision)
+
+
 def apply_sconv1d(
     spec: ConvSpec,
     params: Params,
@@ -196,16 +250,21 @@ def apply_sconv1d(
     x = pad1d_time(x, (left, right + extra), mode=spec.pad_mode)
 
     kernel = fused_kernel(params).astype(x.dtype)
-    y = lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(s,),
-        padding=[(0, 0)],
-        rhs_dilation=(d,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=spec.groups,
-        precision=precision,
-    )
+    if spec.groups == 1 and k > 1 and s > 1 and k % s == 0 and d == 1 and MATMUL_STRIDED:
+        y = _conv1d_strided_matmul(x, kernel, s, precision)
+    elif spec.groups == 1 and k > 1 and s == 1 and MATMUL_STRIDE1:
+        y = _conv1d_unfold_matmul(x, kernel, s, d, precision)
+    else:
+        y = lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(s,),
+            padding=[(0, 0)],
+            rhs_dilation=(d,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=spec.groups,
+            precision=precision,
+        )
     if "bias" in params:
         y = y + params["bias"].astype(y.dtype)
     return _apply_post_norm(spec, params, y)
@@ -227,17 +286,37 @@ def apply_sconv_transpose1d(
     s = int(spec.stride)
     padding_total = k - s
 
-    kernel = jnp.flip(fused_kernel(params), axis=0).astype(x.dtype)
-    y = lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(1,),
-        padding=[(k - 1, k - 1)],
-        lhs_dilation=(s,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=spec.groups,
-        precision=precision,
-    )
+    stored = fused_kernel(params).astype(x.dtype)  # (K, Cin, Cout) torch-tap order
+    if spec.groups == 1 and s > 1 and k % s == 0 and MATMUL_TRANSPOSED:
+        # Subpixel formulation: y[n*s + r] = sum_j x[n - j] @ W[j*s + r]
+        # (j in [0, K/s)) — one stride-1 unfold matmul producing s output
+        # phases, then depth-to-space. Keeps the MXU contraction at K/s*Cin.
+        K, Cin, Cout = stored.shape
+        taps = k // s
+        B, T, _ = x.shape
+        # output positions t = n*s + r with n in [0, T+taps-1): total
+        # (T+taps-1)*s = (T-1)*s + K, the full un-trimmed transposed length.
+        N = T + taps - 1
+        xp = jnp.pad(x, [(0, 0), (taps - 1, taps - 1), (0, 0)])
+        cols = [xp[:, taps - 1 - j : taps - 1 - j + N] for j in range(taps)]
+        xu = jnp.concatenate(cols, axis=-1)  # (B, N, taps*Cin), col j = x[n-j]
+        # w[j*Cin + c, r*Cout + o] = stored[j*s + r, c, o]
+        w = stored.reshape(taps, s, Cin, Cout)
+        w = jnp.transpose(w, (0, 2, 1, 3)).reshape(taps * Cin, s * Cout)
+        y = jnp.matmul(xu, w, precision=precision)  # (B, N, s*Cout)
+        y = y.reshape(B, N * s, Cout)
+    else:
+        kernel = jnp.flip(stored, axis=0)
+        y = lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(k - 1, k - 1)],
+            lhs_dilation=(s,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=spec.groups,
+            precision=precision,
+        )
     if "bias" in params:
         y = y + params["bias"].astype(y.dtype)
     y = _apply_post_norm(spec, params, y)

@@ -59,11 +59,15 @@ def build_seanet_config(conf: Dict[str, Any], defaults: Dict[str, Any]) -> SEANe
     return SEANetConfig(**merged)
 
 
-def build_quantizer(conf: Dict[str, Any], input_size: int) -> Quantizer:
+def build_quantizer(conf: Dict[str, Any], input_size: int, name: str = "costume_quantizer"):
     kw = _filter_fields(QuantizerConfig, conf, drop=("use_ddp",))
     kw.setdefault("input_size", input_size)
     if "rand_num_quant" in kw and kw["rand_num_quant"] is not None:
         kw["rand_num_quant"] = tuple(kw["rand_num_quant"])
+    if name == "identity_quantizer":
+        from funcodec_tpu.models.quantizer import IdentityQuantizer
+
+        return IdentityQuantizer(QuantizerConfig(**kw))
     return Quantizer(QuantizerConfig(**kw))
 
 
@@ -122,12 +126,39 @@ def build_codec_model(config: Dict[str, Any]):
     else:
         raise ValueError(f"unknown decoder {decoder_name}")
 
-    quantizer = build_quantizer(config.get("quantizer_conf", {}), input_size=odim)
+    quantizer = build_quantizer(
+        config.get("quantizer_conf", {}), input_size=odim,
+        name=config.get("quantizer", "costume_quantizer"),
+    )
     discriminator = build_discriminator(config.get("discriminator_conf"), input_size)
 
     if model_name == "encodec":
-        ec_kw = _filter_fields(EncodecConfig, model_conf)
+        ec_kw = _filter_fields(EncodecConfig, model_conf, drop=("context_loss_conf",))
         ec_kw["input_size"] = input_size
+        cc = model_conf.get("context_loss_conf")
+        if cc and model_conf.get("context_loss_weight", 0) > 0:
+            # reference layout: {model, model_conf, mask_conf, *_weight...}
+            flat: Dict[str, Any] = {"model": cc.get("model", "transformer")}
+            mc = cc.get("model_conf", {}) or {}
+            for src_k, dst_k in (
+                ("attention_heads", "attention_heads"),
+                ("linear_units", "linear_units"),
+                ("num_blocks", "num_blocks"),
+                ("num_layers", "lstm_layers"),
+                ("output_size", "odim"),
+            ):
+                if src_k in mc:
+                    flat[dst_k] = mc[src_k]
+            mask_conf = cc.get("mask_conf", {}) or {}
+            if "mask_ratio_range" in mask_conf:
+                flat["mask_ratio_range"] = tuple(mask_conf["mask_ratio_range"])
+            if "num_mask" in mask_conf:
+                flat["num_mask"] = mask_conf["num_mask"]
+            for k in ("use_quant_for_context", "mask_pred_weight",
+                      "ce_loss_weight", "lm_loss_weight", "contrast_loss_weight"):
+                if k in cc:
+                    flat[k] = cc[k]
+            ec_kw["context_loss_conf"] = tuple(sorted(flat.items()))
         model = Encodec(EncodecConfig(**ec_kw), encoder, quantizer, decoder)
     elif model_name == "freq_codec":
         from funcodec_tpu.models.freqcodec import FreqCodec, FreqCodecConfig
