@@ -37,13 +37,15 @@ Params = Dict[str, jnp.ndarray]
 
 CONV_NORMS = ("none", "weight_norm", "time_group_norm", "layer_norm")
 
-# TPU lowering toggles (tuned end-to-end on v5e; see bench.py):
-# - strided downsample convs as time-folded matmuls (contraction K*Cin)
-# - transposed upsample convs as subpixel matmuls
-# - stride-1 convs stay on XLA's conv lowering (unfold's concat traffic
-#   loses at SEANet's long sequence lengths)
-MATMUL_STRIDED = True
-MATMUL_TRANSPOSED = True
+# TPU lowering toggles. End-to-end ablation on v5e (EnCodec nq32ds320,
+# B=32 x 10s, bf16): XLA's native conv lowering beats every matmul
+# reformulation here — lax.conv 142.5ms vs strided-matmul 188ms,
+# subpixel-transposed 175ms, all-matmul 195ms — because XLA fuses the
+# pad+conv+norm+act chains while the matmul forms materialize concat
+# intermediates. Kept (default off) as the starting point for a future
+# fused Pallas kernel.
+MATMUL_STRIDED = False
+MATMUL_TRANSPOSED = False
 MATMUL_STRIDE1 = False
 
 

@@ -1,0 +1,102 @@
+"""Chunk iterator, streaming loader, shape scan, stats collection, summary."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def wav_corpus(tmp_path):
+    from funcodec_tpu.data.wav_io import write_wav
+
+    rng = np.random.RandomState(0)
+    (tmp_path / "train").mkdir()
+    lines = []
+    for i in range(5):
+        t = 900 + 333 * i
+        w = (0.2 * rng.randn(t)).astype(np.float32)
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, np.clip(w, -1, 1), 16000)
+        lines.append(f"u{i} {p}")
+    (tmp_path / "train" / "wav.scp").write_text("\n".join(lines) + "\n")
+    return tmp_path
+
+
+def test_calc_shape_and_data_list(wav_corpus):
+    from funcodec_tpu.utils.shape_utils import calc_shape, generate_data_list
+
+    kept, dropped = calc_shape(
+        str(wav_corpus), "train", str(wav_corpus / "shape"),
+        min_length=1000, num_workers=2,
+    )
+    assert kept == 4 and dropped == 1  # u0 (900 samples) filtered
+    lines = (wav_corpus / "shape" / "train" / "speech_shape").read_text().splitlines()
+    assert len(lines) == 4
+    key, length = lines[0].split()
+    assert key == "u1" and int(length) == 1233
+
+    dl = generate_data_list(str(wav_corpus), "train")
+    items = [json.loads(line) for line in open(dl)]
+    assert len(items) == 5 and items[0]["key"] == "u0"
+
+
+def test_chunk_iter_factory(wav_corpus):
+    from funcodec_tpu.data.chunk_iter import ChunkIterFactory
+    from funcodec_tpu.data.dataset import CodecDataset
+
+    ds = CodecDataset([(str(wav_corpus / "train" / "wav.scp"), "speech", "sound")])
+    factory = ChunkIterFactory(ds, batch_size=3, chunk_length="512", seed=0)
+    batches = list(factory.build_iter(epoch=1))
+    assert batches
+    total_chunks = 0
+    for keys, batch in batches:
+        assert batch["speech"].shape[1] == 512  # static chunk shape
+        assert batch["speech"].shape[0] <= 3
+        total_chunks += len(keys)
+    assert total_chunks >= 5
+    # deterministic per epoch
+    again = list(factory.build_iter(epoch=1))
+    np.testing.assert_array_equal(batches[0][1]["speech"], again[0][1]["speech"])
+
+
+def test_streaming_loader(wav_corpus):
+    from funcodec_tpu.data.streaming import LargeDataLoader
+    from funcodec_tpu.utils.shape_utils import generate_data_list
+
+    dl = generate_data_list(str(wav_corpus), "train")
+    loader = LargeDataLoader(
+        [dl], batch_size=2, min_length=1000, shuffle=True,
+        shuffle_buffer_size=4, sort_buffer_size=4, seed=3,
+    )
+    seen = []
+    for keys, batch in loader.build_iter(epoch=0):
+        assert batch["speech"].ndim == 2
+        assert (batch["speech_lengths"] >= 1000).all()
+        seen.extend(keys)
+    assert sorted(seen) == ["u1", "u2", "u3", "u4"]
+
+
+def test_collect_stats(wav_corpus):
+    from funcodec_tpu.data.dataset import CodecDataset
+    from funcodec_tpu.utils.shape_utils import collect_stats
+
+    ds = CodecDataset([(str(wav_corpus / "train" / "wav.scp"), "speech", "sound")])
+    stats = collect_stats(ds, str(wav_corpus / "stats"))
+    assert stats["count"] > 0
+    shape_lines = (wav_corpus / "stats" / "speech_shape").read_text().splitlines()
+    assert len(shape_lines) == 5
+
+
+def test_model_summary_and_flops():
+    import jax
+    import jax.numpy as jnp
+
+    from funcodec_tpu.utils.misc import count_parameters, estimate_flops, model_summary
+
+    params = {"a": {"w": jnp.zeros((4, 8))}, "b": jnp.zeros((16,))}
+    assert count_parameters(params) == 48
+    s = model_summary(params)
+    assert "TOTAL: 48" in s
+    cost = estimate_flops(lambda x: x @ jnp.ones((8, 8)), jnp.ones((4, 8)))
+    assert cost["flops"] != 0
