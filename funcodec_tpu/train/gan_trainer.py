@@ -74,6 +74,7 @@ class TrainerOptions:
     disc_grad_clip: float = -1.0
     num_valid_dump_wavs: int = 5
     sampling_rate: int = 16000
+    use_tensorboard: bool = True
 
 
 class GANCodecTrainer:
@@ -89,6 +90,7 @@ class GANCodecTrainer:
         self.opt = options
         self.mesh = mesh
         self.reporter = Reporter()
+        self._tb = None
 
         o = options
         self.optimizer_g = make_optimizer(
@@ -234,6 +236,29 @@ class GANCodecTrainer:
 
     # -- checkpointing -------------------------------------------------------
 
+    def _tb_writer(self):
+        """Optional TensorBoard emission (reporter.py:499-534 role)."""
+        if not self.opt.use_tensorboard:
+            return None
+        if self._tb is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(str(Path(self.opt.output_dir) / "tensorboard"))
+            except Exception:
+                self.opt.use_tensorboard = False
+                return None
+        return self._tb
+
+    def _emit_tb(self, epoch: int) -> None:
+        tb = self._tb_writer()
+        if tb is None:
+            return
+        for phase, stats in self.reporter.stats.get(epoch, {}).items():
+            for k, v in stats.items():
+                tb.add_scalar(f"{phase}/{k}", v, epoch)
+        tb.flush()
+
     def _ckpt_dir(self) -> Path:
         p = Path(self.opt.output_dir)
         p.mkdir(parents=True, exist_ok=True)
@@ -318,6 +343,7 @@ class GANCodecTrainer:
             )
             self.validate(state, v_loader, epoch, rng)
             self._save_epoch(state, epoch)
+            self._emit_tb(epoch)
             logging.info(
                 "epoch %d done: train=%s valid=%s", epoch,
                 {k: round(v, 4) for k, v in list(train_stats.items())[:4]},
