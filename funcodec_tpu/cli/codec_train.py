@@ -71,6 +71,10 @@ def main(argv=None):
     parser.add_argument("--max_epoch", type=int, default=None)
     parser.add_argument("--num_iters_per_epoch", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--print_config", action="store_true",
+                        help="dump the resolved config yaml and exit (abs_task.py:1108)")
+    parser.add_argument("--dry_run", action="store_true",
+                        help="build everything, run zero steps (abs_task.py:1299)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -83,6 +87,14 @@ def main(argv=None):
         v = getattr(args, field)
         if v is not None:
             config[field] = v
+
+    if args.print_config:
+        import sys
+
+        import yaml
+
+        yaml.safe_dump(config, sys.stdout)
+        return
 
     model, discriminator = build_codec_model(config)
 
@@ -127,6 +139,12 @@ def main(argv=None):
     mesh = make_mesh(options.batch_size)
     trainer = GANCodecTrainer(model, discriminator, options, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(options.seed))
+    from funcodec_tpu.utils.misc import model_summary
+
+    logging.info(model_summary(state.params, "generator"))
+    if args.dry_run:
+        logging.info("--dry_run: model and data built, exiting before training")
+        return
     trainer.run(state, train_ds, valid_ds)
 
 
