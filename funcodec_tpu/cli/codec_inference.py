@@ -18,7 +18,6 @@ import json
 import logging
 import math
 import os
-from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -11,8 +11,7 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-from pathlib import Path
-from typing import Any, Dict, List, Optional, Union
+from typing import Dict, Optional, Union
 
 import numpy as np
 import yaml
@@ -21,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from funcodec_tpu.cli.codec_inference import Speech2Token
-from funcodec_tpu.data.text import Text2AudioPreprocessor, TokenIDConverter, build_tokenizer
+from funcodec_tpu.data.text import TokenIDConverter, build_tokenizer
 from funcodec_tpu.data.wav_io import read_2column_text, read_wav, resample, save_audio
 from funcodec_tpu.tasks.text2audio import build_laura_model
 

@@ -8,7 +8,7 @@ deterministically from seed+epoch, enabling exact resume).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

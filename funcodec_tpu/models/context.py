@@ -15,7 +15,7 @@ _context_lm_loss :410-424, _cal_context_loss :426-469). Two variants:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

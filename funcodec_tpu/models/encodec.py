@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from funcodec_tpu.models.quantizer import Quantizer, QuantizerConfig
-from funcodec_tpu.models.seanet import SEANetConfig, SEANetDecoder, SEANetEncoder
+from funcodec_tpu.models.quantizer import Quantizer
+from funcodec_tpu.models.seanet import SEANetDecoder, SEANetEncoder
 from funcodec_tpu.ops.stft import audio_to_mel
 from funcodec_tpu.quant.rvq import RVQState
 

@@ -15,7 +15,6 @@ PPG usage modes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,6 @@ from jax import lax
 from funcodec_tpu.models.encodec import Encodec, EncodecConfig
 from funcodec_tpu.models.seanet import apply_layers, init_layers
 from funcodec_tpu.ops.conv import ConvSpec
-from funcodec_tpu.quant.rvq import RVQState
 
 
 @dataclasses.dataclass(frozen=True)

@@ -7,7 +7,7 @@ ReLU, Tanh, GELU, ...).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import io
 import json
 import math
 import struct
-from typing import IO, Any, List, Optional, Sequence
+from typing import IO, Any, Optional
 
 import numpy as np
 

@@ -10,7 +10,7 @@ construct our models, so a released checkpoint's config.yaml round-trips
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 from funcodec_tpu.models.discriminators import MultipleDiscriminator
 from funcodec_tpu.models.encodec import Encodec, EncodecConfig

@@ -7,10 +7,9 @@ queries, early stopping, state_dict round trip).
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from collections import defaultdict
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional
 
 
 class SubReporter:

@@ -14,7 +14,6 @@ state as `gen_loss_carry` instead of a Python attribute.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
