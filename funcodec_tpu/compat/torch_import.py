@@ -116,6 +116,11 @@ def import_seanet_layers(
         elif kind == "lstm":
             dim, nlayers, _skip = spec
             params.append(import_lstm(sd, f"{base}.lstm", nlayers))
+        elif kind == "tfm":
+            from funcodec_tpu.models.seanet import _seq_tfm_cfg
+            from funcodec_tpu.models.transformer import import_encoder as imp_enc
+
+            params.append(imp_enc(sd, base, _seq_tfm_cfg(spec)))
         elif kind == "snake":
             params.append({"alpha": jnp.asarray(_np(sd[f"{base}.alpha"]).reshape(-1))})
         elif kind == "resblock":

@@ -28,7 +28,20 @@ from funcodec_tpu.ops import activations as act_ops
 from funcodec_tpu.ops.conv import ConvSpec, apply_conv, init_conv
 from funcodec_tpu.ops.rnn import apply_slstm, init_lstm
 
-Layer = Tuple[str, Any]  # kind in {conv, act, snake, lstm, resblock, squeeze, unsqueeze}
+Layer = Tuple[str, Any]  # kind in {conv, act, snake, lstm, tfm, resblock, squeeze, unsqueeze}
+
+
+def _seq_tfm_cfg(spec):
+    """TransformerConfig for the SEANet bottleneck transformer
+    (normed_modules/transformer.py defaults: heads 4, ffn 2048, no pos enc)."""
+    from funcodec_tpu.models.transformer import TransformerConfig
+
+    dim, num_blocks = spec[0], spec[1]
+    return TransformerConfig(
+        input_size=dim, attention_dim=dim, attention_heads=4,
+        linear_units=2048, num_blocks=num_blocks, input_layer="none",
+        pos_enc_type="none",
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,7 +191,7 @@ def build_encoder_layers(cfg: SEANetConfig) -> List[Layer]:
     if cfg.seq_model == "lstm":
         layers.append(("lstm", (mult * cfg.n_filters, cfg.seq_layer_num, cfg.res_seq)))
     elif cfg.seq_model == "transformer":
-        raise NotImplementedError("transformer seq_model lands with the LM stack")
+        layers.append(("tfm", (mult * cfg.n_filters, cfg.seq_layer_num, cfg.causal, cfg.res_seq)))
 
     layers.append(_act_layer(cfg, mult * cfg.n_filters))
     layers.append(
@@ -217,7 +230,7 @@ def build_decoder_layers(cfg: SEANetConfig) -> List[Layer]:
     if cfg.seq_model == "lstm":
         layers.append(("lstm", (mult * cfg.n_filters, cfg.seq_layer_num, cfg.res_seq)))
     elif cfg.seq_model == "transformer":
-        raise NotImplementedError("transformer seq_model lands with the LM stack")
+        layers.append(("tfm", (mult * cfg.n_filters, cfg.seq_layer_num, cfg.causal, cfg.res_seq)))
 
     for ratio in cfg.ratios:
         out_ch = mult * cfg.n_filters // 2 if cfg.half_filters else mult * cfg.n_filters
@@ -281,6 +294,10 @@ def init_layers(key, layers: Sequence[Layer]) -> List[Any]:
         elif kind == "lstm":
             dim, nlayers, _skip = spec
             params.append(init_lstm(sub, dim, dim, nlayers))
+        elif kind == "tfm":
+            from funcodec_tpu.models.transformer import init_encoder
+
+            params.append(init_encoder(sub, _seq_tfm_cfg(spec)))
         elif kind == "resblock":
             block, shortcut = spec
             bp = init_layers(sub, block)
@@ -310,6 +327,22 @@ def apply_layers(
         elif kind == "lstm":
             _dim, _nlayers, skip = spec
             x = apply_slstm(p, x, skip=skip)
+        elif kind == "tfm":
+            # normed_modules/transformer.py TransformerEncoder: no positional
+            # encoding (input_layer=None, in==out), optional causal mask and
+            # residual skip (:150-208)
+            from funcodec_tpu.models.transformer import (
+                apply_encoder,
+                causal_mask,
+                make_pad_mask_bool,
+            )
+
+            _dim, _nb, causal, skip = spec
+            B, T = x.shape[0], x.shape[1]
+            lengths = jnp.full((B,), T, jnp.int32)
+            mask = causal_mask(lengths, T) if causal else make_pad_mask_bool(lengths, T)[:, None, :]
+            y = apply_encoder(_seq_tfm_cfg(spec), p, x, mask)
+            x = (x + y) if skip else y
         elif kind == "resblock":
             block, shortcut = spec
             y = apply_layers(block, p["block"], x, precision=precision)

@@ -135,8 +135,13 @@ def init_conv(key, spec: ConvSpec) -> Params:
 
     if spec.norm == "weight_norm":
         kernel = params.pop("kernel")
-        axes = tuple(range(kernel.ndim - 1))
-        g = jnp.sqrt(jnp.sum(kernel**2, axis=axes))
+        if spec.transposed:
+            # torch weight_norm(dim=0) on ConvTranspose normalizes per INPUT
+            # channel (weight (Cin, Cout, K)); Cin is axis -2 in our layout.
+            axes = tuple(i for i in range(kernel.ndim) if i != kernel.ndim - 2)
+        else:
+            axes = tuple(range(kernel.ndim - 1))
+        g = jnp.sqrt(jnp.sum(kernel**2, axis=axes, keepdims=True))
         params["v"] = kernel
         params["g"] = g
     elif spec.norm == "time_group_norm":
@@ -149,11 +154,19 @@ def init_conv(key, spec: ConvSpec) -> Params:
 
 
 def fused_kernel(params: Params) -> jnp.ndarray:
-    """Return the effective kernel, reconstituting weight norm if present."""
+    """Return the effective kernel, reconstituting weight norm if present.
+
+    `g`'s broadcast shape encodes the normalization axes (torch dim=0
+    semantics: per-output-channel for forward convs, per-INPUT-channel for
+    transposed ones); a 1-D `g` means the legacy per-last-axis layout.
+    """
     if "kernel" in params:
         return params["kernel"]
     v, g = params["v"], params["g"]
-    axes = tuple(range(v.ndim - 1))
+    if g.ndim == v.ndim:
+        axes = tuple(i for i in range(v.ndim) if g.shape[i] == 1)
+    else:
+        axes = tuple(range(v.ndim - 1))
     norm = jnp.sqrt(jnp.sum(v.astype(jnp.float32) ** 2, axis=axes, keepdims=True))
     return (v * (g / jnp.maximum(norm, 1e-12))).astype(v.dtype)
 

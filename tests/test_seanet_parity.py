@@ -78,3 +78,28 @@ def test_encoder_hop_alignment():
     for t in (320, 321, 639, 1000):
         y = enc(params, jnp.zeros((1, t)))
         assert y.shape[1] == -(-t // 320), (t, y.shape)
+
+
+def test_seanet_encoder_transformer_seq_model(torch):
+    """seq_model='transformer' bottleneck (normed_modules/transformer.py)."""
+    from funcodec.models.encoder.seanet_encoder import SEANetEncoder as RefEnc
+
+    ref = RefEnc(
+        n_filters=4, dimension=16, ratios=[4, 2], norm="weight_norm",
+        causal=True, seq_model="transformer", seq_layer_num=2,
+    ).eval()
+    cfg = SEANetConfig(
+        n_filters=4, dimension=16, ratios=(4, 2), norm="weight_norm",
+        causal=True, seq_model="transformer", seq_layer_num=2,
+    )
+    enc = SEANetEncoder(cfg)
+    sd = {f"encoder.{k}": v for k, v in ref.state_dict().items()}
+    from funcodec_tpu.compat.torch_import import import_seanet_layers
+
+    params = import_seanet_layers(sd, "encoder", enc.layers)
+    x = torch.randn(2, 1, 407)
+    with torch.no_grad():
+        y_ref = ref(x).numpy()
+    y = np.asarray(enc(params, jnp.asarray(x.numpy()[:, 0, :])))
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, atol=5e-4, rtol=1e-3)
