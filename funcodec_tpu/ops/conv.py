@@ -250,9 +250,13 @@ def _conv1d_strided_matmul(x, kernel, stride, precision):
 
 # Fold the streamable padding into the conv op (no materialized pad copy)
 # and patch the few edge outputs that reflect/replicate padding changes.
-# End-to-end on v5e this removes one full memory pass per conv layer:
-# EnCodec nq32 B=256x10s inference 418.5ms -> ~348ms (+17%).
-FOLD_PADDING = True
+# v5e A/B (EnCodec nq32, B=256 x 10s, bf16, best-of-6):
+#   materialized pad (this default) 423ms | fold + exact edge fixups 438ms |
+#   fold w/o fixups (zero-pad numerics) 348ms.
+# The theoretical win is real (one memory pass per conv) but
+# dynamic_update_slice edge splices are not lowered in place, eating the
+# gain — an in-place-edged fused conv is the Pallas target for this.
+FOLD_PADDING = False
 
 
 def _conv1d_raw(x, kernel, s, d, groups, padding, precision):
