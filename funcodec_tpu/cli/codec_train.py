@@ -122,6 +122,7 @@ def main(argv=None):
         grad_clip=config.get("grad_clip", -1),
         disc_grad_clip=config.get("disc_grad_clip", -1),
         sampling_rate=config.get("sampling_rate", 16000),
+        accum_grad=config.get("accum_grad", 1),
     )
 
     out = Path(args.output_dir)

@@ -118,6 +118,7 @@ def main(argv=None):
         scheduler=config.get("scheduler", "warmuplr"),
         scheduler_conf=config.get("scheduler_conf", {"warmup_steps": 10000}),
         num_workers=config.get("num_workers", 8),
+        accum_grad=config.get("accum_grad", 1),
     )
     trainer = LauraTrainer(model, options)
     state = trainer.init_state(jax.random.PRNGKey(options.seed))

@@ -75,6 +75,7 @@ class TrainerOptions:
     num_valid_dump_wavs: int = 5
     sampling_rate: int = 16000
     use_tensorboard: bool = True
+    accum_grad: int = 1
 
 
 class GANCodecTrainer:
@@ -97,11 +98,13 @@ class GANCodecTrainer:
             lr=o.optim_conf.get("lr", 3e-4),
             betas=tuple(o.optim_conf.get("betas", (0.5, 0.9))),
             grad_clip=o.grad_clip,
+            accum_grad=o.accum_grad,
         )
         self.optimizer_d = make_optimizer(
             lr=o.optim2_conf.get("lr", 3e-4),
             betas=tuple(o.optim2_conf.get("betas", (0.5, 0.9))),
             grad_clip=o.disc_grad_clip,
+            accum_grad=o.accum_grad,
         )
         self._train_step = make_gan_train_step(
             model, discriminator, self.optimizer_g, self.optimizer_d,

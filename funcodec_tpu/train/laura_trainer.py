@@ -96,6 +96,7 @@ class LauraTrainer:
             betas=tuple(options.optim_conf.get("betas", (0.9, 0.999))),
             grad_clip=options.grad_clip,
             schedule=schedule,
+            accum_grad=options.accum_grad,
         )
         self._jit_step = None
         self._jit_valid = None

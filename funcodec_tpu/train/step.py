@@ -57,9 +57,12 @@ def make_optimizer(
     weight_decay: float = 0.0,
     grad_clip: float = -1.0,
     schedule: Optional[Callable] = None,
+    accum_grad: int = 1,
 ) -> optax.GradientTransformation:
-    """Adam (+ optional global-norm clip) matching the recipe optimizers
-    (egs/LibriTTS/codec/conf/encodec_16k_n32_600k_step.yaml:53-63)."""
+    """Adam (+ optional global-norm clip, + gradient accumulation) matching
+    the recipe optimizers (encodec_16k_n32_600k_step.yaml:53-68; accum_grad
+    semantics of trainer.py:669-719: optimizer steps every `accum_grad`
+    iterations on the averaged gradients)."""
     chain = []
     if grad_clip and grad_clip > 0:
         chain.append(optax.clip_by_global_norm(grad_clip))
@@ -69,7 +72,10 @@ def make_optimizer(
                                  weight_decay=weight_decay))
     else:
         chain.append(optax.adam(lr_arg, b1=betas[0], b2=betas[1], eps=eps))
-    return optax.chain(*chain)
+    opt = optax.chain(*chain)
+    if accum_grad and accum_grad > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum_grad)
+    return opt
 
 
 def make_gan_train_step(
