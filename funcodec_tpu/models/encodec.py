@@ -458,8 +458,12 @@ class Encodec:
                 + jnp.mean(jax.nn.relu(1.0 + fake_logits))
             )
         disc_loss = jnp.mean(jnp.stack(disc_losses))
-        # adaptive gating keeps D from overpowering G (codec_basic.py:646)
-        loss = disc_loss * (disc_loss > gen_loss_carry).astype(disc_loss.dtype)
+        # adaptive gating keeps D from overpowering G (codec_basic.py:646);
+        # training-mode only, like the reference's `if self.training:`
+        if training:
+            loss = disc_loss * (disc_loss > gen_loss_carry).astype(disc_loss.dtype)
+        else:
+            loss = disc_loss
         stats = dict(discriminator_total_loss=loss, discriminator_loss=disc_loss)
         out = dict(stats=stats, rvq_state=aux["rvq_state"], real=orig, fake=fake)
         return loss, out

@@ -26,7 +26,12 @@ import numpy as np
 
 from funcodec_tpu.data.dataset import collate_fn
 from funcodec_tpu.data.loader import PrefetchLoader
-from funcodec_tpu.data.sampler import shuffle_batches_for_epoch, unsorted_batches
+from funcodec_tpu.data.sampler import (
+    length_batches,
+    shuffle_batches_for_epoch,
+    sorted_batches,
+    unsorted_batches,
+)
 from funcodec_tpu.train.checkpoint import (
     load_train_state,
     save_train_state,
@@ -76,6 +81,8 @@ class TrainerOptions:
     sampling_rate: int = 16000
     use_tensorboard: bool = True
     accum_grad: int = 1
+    batch_type: str = "unsorted"  # unsorted | sorted | length
+    batch_bins: int = 4_000_000  # for batch_type=length (samples per batch)
 
 
 class GANCodecTrainer:
@@ -328,9 +335,26 @@ class GANCodecTrainer:
         valid_ids = list(valid_dataset.uttids)
         phase, key, mode = o.best_model_criterion
 
+        def make_batches(ids, dataset):
+            if o.batch_type == "unsorted":
+                return unsorted_batches(ids, o.batch_size, o.drop_last)
+            # sorted/length need utterance lengths (speech_shape role,
+            # samplers/build_batch_sampler.py:78-168)
+            lengths = {}
+            for u in ids:
+                _, data = dataset[u]
+                lengths[u] = int(np.asarray(data["speech"]).shape[0])
+            if o.batch_type == "sorted":
+                return sorted_batches(ids, lengths, o.batch_size, o.drop_last)
+            if o.batch_type == "length":
+                return length_batches(ids, lengths, o.batch_bins)
+            raise ValueError(f"unknown batch_type {o.batch_type}")
+
+        train_batches_base = make_batches(train_ids, train_dataset)
+
         for epoch in range(start_epoch, o.max_epoch + 1):
             self.reporter.set_epoch(epoch)
-            batches = unsorted_batches(train_ids, o.batch_size, o.drop_last)
+            batches = list(train_batches_base)
             batches = shuffle_batches_for_epoch(batches, o.seed, epoch)
             if o.num_iters_per_epoch:
                 reps = -(-o.num_iters_per_epoch // max(len(batches), 1))
