@@ -371,10 +371,15 @@ class GANCodecTrainer:
             self.validate(state, v_loader, epoch, rng)
             self._save_epoch(state, epoch)
             self._emit_tb(epoch)
+            keys_of_interest = (
+                "generator_loss", "generator_recon_loss",
+                "generator_multi_spectral_recon_loss", "discriminator_loss",
+            )
+            valid_stats = self.reporter.stats[epoch].get("valid", {})
             logging.info(
                 "epoch %d done: train=%s valid=%s", epoch,
-                {k: round(v, 4) for k, v in list(train_stats.items())[:4]},
-                {k: round(v, 4) for k, v in list(self.reporter.stats[epoch].get("valid", {}).items())[:4]},
+                {k: round(train_stats[k], 4) for k in keys_of_interest if k in train_stats},
+                {k: round(valid_stats[k], 4) for k in keys_of_interest if k in valid_stats},
             )
             if o.patience is not None and self.reporter.check_early_stopping(
                 o.patience, phase, key, mode
