@@ -77,13 +77,35 @@ def _parse_codec_json(v):
     return arr.T  # (T, n_q)
 
 
+class _Hdf5Source:
+    """hdf5 data type (dataset.py:149-257): one h5 file, uttid-keyed datasets."""
+
+    def __init__(self, path):
+        import h5py
+
+        self.file = h5py.File(path, "r")
+
+    def keys(self):
+        return self.file.keys()
+
+    def __getitem__(self, key):
+        return self.file[key][()]
+
+
 DATA_TYPES: Dict[str, Callable[[str], Any]] = {
     "sound": _SoundSource,
     "kaldi_ark": _ArkSource,
     "npy": _NpySource,
+    "hdf5": _Hdf5Source,
     "text": lambda p: _TextSource(p),
     "text_int": lambda p: _TextSource(p, _parse_text_int),
     "text_float": lambda p: _TextSource(p, _parse_text_float),
+    "csv_int": lambda p: _TextSource(
+        p, lambda v: np.array([int(x) for x in v.split(",")], np.int64)
+    ),
+    "csv_float": lambda p: _TextSource(
+        p, lambda v: np.array([float(x) for x in v.split(",")], np.float32)
+    ),
     "codec_json": lambda p: _TextSource(p, _parse_codec_json),
 }
 

@@ -62,6 +62,55 @@ def length_batches(
     return batches
 
 
+def folded_batches(
+    uttids: Sequence[str],
+    lengths: Dict[str, int],
+    batch_size: int,
+    fold_length: int,
+    drop_last: bool = False,
+) -> List[List[str]]:
+    """Folded sampler: batch size shrinks for long utterances
+    (batch_size / ceil(len / fold_length), samplers/folded_batch_sampler)."""
+    order = sorted(uttids, key=lambda u: lengths[u], reverse=True)
+    batches: List[List[str]] = []
+    i = 0
+    while i < len(order):
+        u = order[i]
+        factor = max(1, -(-lengths[u] // fold_length))
+        bs = max(1, batch_size // factor)
+        batches.append(order[i : i + bs])
+        i += bs
+    if drop_last and len(batches) > 1 and len(batches[-1]) < max(
+        1, batch_size // max(1, -(-lengths[batches[-1][0]] // fold_length))
+    ):
+        batches.pop()
+    return batches
+
+
+def numel_batches(
+    uttids: Sequence[str],
+    shapes: Dict[str, Sequence[int]],
+    batch_bins: int,
+) -> List[List[str]]:
+    """Pack by total padded element count (the 'numel' batch_type family)."""
+    import numpy as np
+
+    order = sorted(uttids, key=lambda u: int(np.prod(shapes[u])))
+    batches: List[List[str]] = []
+    cur: List[str] = []
+    for u in order:
+        cand = cur + [u]
+        cost = int(np.prod(shapes[u])) * len(cand)
+        if cur and cost > batch_bins:
+            batches.append(cur)
+            cur = [u]
+        else:
+            cur = cand
+    if cur:
+        batches.append(cur)
+    return batches
+
+
 def shuffle_batches_for_epoch(
     batches: List[List[str]], seed: int, epoch: int, shuffle: bool = True
 ) -> List[List[str]]:

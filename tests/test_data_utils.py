@@ -100,3 +100,35 @@ def test_model_summary_and_flops():
     assert "TOTAL: 48" in s
     cost = estimate_flops(lambda x: x @ jnp.ones((8, 8)), jnp.ones((4, 8)))
     assert cost["flops"] != 0
+
+
+def test_hdf5_source(tmp_path):
+    import h5py
+
+    from funcodec_tpu.data.dataset import CodecDataset
+
+    p = tmp_path / "feats.h5"
+    with h5py.File(p, "w") as f:
+        f["u0"] = np.arange(12, dtype=np.float32).reshape(4, 3)
+        f["u1"] = np.ones((2, 3), np.float32)
+    ds = CodecDataset([(str(p), "feat", "hdf5")])
+    uid, data = ds["u0"]
+    assert data["feat"].shape == (4, 3)
+    assert len(ds) == 2
+
+
+def test_folded_and_numel_samplers():
+    from funcodec_tpu.data.sampler import folded_batches, numel_batches
+
+    lengths = {f"u{i}": 100 * (i + 1) for i in range(6)}
+    fb = folded_batches(list(lengths), lengths, batch_size=4, fold_length=200)
+    assert sum(len(b) for b in fb) == 6
+    # longest utterances get smaller batches
+    assert len(fb[0]) <= 4
+
+    shapes = {u: (l, 2) for u, l in lengths.items()}
+    nb = numel_batches(list(lengths), shapes, batch_bins=1000)
+    assert sum(len(b) for b in nb) == 6
+    for b in nb:
+        worst = max(int(np.prod(shapes[u])) for u in b)
+        assert worst * len(b) <= 1000 or len(b) == 1
