@@ -205,6 +205,8 @@ def import_laura(sd: Mapping[str, Any], model) -> Dict[str, Any]:
         params["token_embedding"] = jnp.asarray(_np(sd["token_embedding.weight"]))
     params["lm_embedding"] = jnp.asarray(_np(sd["lm_embedding.weight"]))
     params["codec_lm"] = imp_enc(sd, "codec_lm.encoder", model.codec_lm_cfg)
+    if "codec_lm.input_layer.weight" in sd:
+        params["lm_input_layer"] = lin("codec_lm.input_layer")
     params["lm_decoder"] = lin("codec_lm.decoder")
     params["codec_encoder"] = imp_enc(sd, "codec_encoder", model.codec_encoder_cfg)
     params["codec_encoder_out_layer"] = lin("codec_encoder_out_layer")

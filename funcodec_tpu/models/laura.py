@@ -100,6 +100,7 @@ class LauraConfig:
     length_normalized_loss: bool = True
     ignore_id: int = -1
     pos_emb_type: str = "split"  # split | uni (for the codec_encoder inputs)
+    lm_pe_type: str = "uni"  # uni | split (TransformerEmbedLM pe_type)
 
     @property
     def lm_out_voc_size(self) -> int:
@@ -146,6 +147,11 @@ class LauraGenModel:
             )
         p["lm_embedding"] = jax.random.normal(keys[3], (2, cfg.codebook_dim)) * 1.0
         p["codec_lm"] = init_encoder(keys[4], self.codec_lm_cfg)
+        if cfg.lm_pe_type == "split":
+            p["lm_input_layer"] = tfm._linear_init(
+                jax.random.fold_in(keys[4], 1), cfg.codebook_dim,
+                self.codec_lm_cfg.attention_dim,
+            )
         p["lm_decoder"] = tfm._linear_init(
             keys[5], self.codec_lm_cfg.attention_dim, cfg.lm_out_voc_size
         )
@@ -230,9 +236,24 @@ class LauraGenModel:
             llm_lengths = llm_lengths + codec_lengths
         return llm_inputs, llm_lengths
 
+    def _apply_split_pe(self, params, inputs, speech_lengths):
+        """pe_type='split' input transform (transformer_lm.py:212-253):
+        absolute positions restart at the codec segment; the <task_id> slot
+        (position == speech_len) is left untouched; then input_layer Linear."""
+        B, T, D = inputs.shape
+        pe = jnp.asarray(tfm.sinusoidal_pe(T, D))
+        pos = jnp.arange(T)[None, :]  # (1, T)
+        L = speech_lengths[:, None]  # (B, 1)
+        prefix = pos < L
+        suffix = pos > L
+        pe_idx = jnp.where(prefix, pos, jnp.maximum(pos - L - 1, 0))
+        posed = inputs * math.sqrt(D) + pe[pe_idx]
+        out = jnp.where((prefix | suffix)[..., None], posed, inputs)
+        return tfm._apply_linear(params["lm_input_layer"], out)
+
     def _lm_forward(self, params, inputs, input_lengths, speech_lengths):
         """Codec LM forward with bidirectional text prefix
-        (transformer_lm.py:194-260, pe_type='uni' path)."""
+        (transformer_lm.py:194-260)."""
         T = inputs.shape[1]
         mask = causal_mask(input_lengths, T)  # (B, T, T)
         # unmask the [sos, text] prefix (transformer_lm.py:209-211)
@@ -244,6 +265,8 @@ class LauraGenModel:
         # keep padded rows/cols masked
         valid = make_pad_mask_bool(input_lengths, T)
         mask = mask & valid[:, None, :] & valid[:, :, None]
+        if self.cfg.lm_pe_type == "split":
+            inputs = self._apply_split_pe(params, inputs, speech_lengths)
         h = apply_encoder(self.codec_lm_cfg, params["codec_lm"], inputs, mask)
         return tfm._apply_linear(params["lm_decoder"], h)
 
@@ -477,28 +500,45 @@ class LauraGenModel:
         max_total = inputs.shape[1] + max_length + 1
         cache = init_kv_cache(lm_cfg, 1, max_total)
 
-        embed_fn = lambda x: tfm.apply_embed(lm_cfg, params["codec_lm"], x)[0]
+        if cfg.lm_pe_type == "split":
+            # split mode: absolute pos restarts at the codec segment; the
+            # incremental step applies the token's own position encoding
+            speech_len = Lt + 1  # sos + text
 
-        # NOTE apply_embed adds abs pos over positions 0..n-1 of its input;
-        # for rel_pos it only scales, so incremental feeding is position-safe.
-        assert lm_cfg.pos_enc_type in ("rel_pos", "none"), (
-            "KV-cache decode currently supports rel_pos/none codec LMs "
-            "(the shipped config is rel_pos)"
-        )
+            def embed_prefill(inputs):
+                return self._apply_split_pe(
+                    params, inputs, jnp.asarray([speech_len])
+                )
+
+            def embed_step(emb, codec_pos):
+                D = emb.shape[-1]
+                pe = jnp.asarray(tfm.sinusoidal_pe(max_length + 1, D))
+                posed = emb * math.sqrt(D) + pe[codec_pos][None, None]
+                return tfm._apply_linear(params["lm_input_layer"], posed)
+        else:
+            assert lm_cfg.pos_enc_type in ("rel_pos", "none"), (
+                "KV-cache decode supports rel_pos/none/split codec LMs"
+            )
+
+            def embed_prefill(inputs):
+                return tfm.apply_embed(lm_cfg, params["codec_lm"], inputs)[0]
+
+            def embed_step(emb, codec_pos):
+                return tfm.apply_embed(lm_cfg, params["codec_lm"], emb)[0]
 
         @jax.jit
         def prefill(params, cache, inputs):
-            x = embed_fn(inputs)
+            x = embed_prefill(inputs)
             h, cache = apply_encoder_step(lm_cfg, params["codec_lm"], cache, x)
             logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
             return logits[0], cache
 
         @jax.jit
-        def step(params, cache, token_group):
+        def step(params, cache, token_group, codec_pos):
             emb = self.calc_dense_vector(
                 params, token_group[None, None, :], jnp.asarray([1])
             )  # (1, 1, D)
-            x = embed_fn(emb)
+            x = embed_step(emb, codec_pos)
             h, cache = apply_encoder_step(lm_cfg, params["codec_lm"], cache, x)
             logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
             return logits[0], cache
@@ -518,8 +558,11 @@ class LauraGenModel:
             if any(g == eos for g in group):
                 break
             out_tokens.append(group)
+            # the fed token is codec position len(out_tokens)-1 (split-pe
+            # positions restart at the codec segment)
             logits, cache = step(
-                params, cache, jnp.asarray(group, jnp.int32)
+                params, cache, jnp.asarray(group, jnp.int32),
+                jnp.int32(len(out_tokens) - 1),
             )
         if not out_tokens:
             return np.zeros((1, 0, cfg.predict_nq), np.int32)

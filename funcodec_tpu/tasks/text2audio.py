@@ -46,19 +46,21 @@ def _lm_cfg_from_conf(conf: Dict[str, Any]) -> TransformerConfig:
     pe_type = conf.get("pe_type", "split")
     pos_enc = conf.get("pos_enc", None)
     pos_map = {"rel_pos": "rel_pos", "sinusoidal": "abs_pos", "abs_pos": "abs_pos", None: "none"}
-    if pe_type != "uni":
-        raise NotImplementedError(
-            "codec_lm pe_type='split' not yet supported (shipped configs use 'uni')"
-        )
+    if pe_type == "split":
+        # transformer_lm.py:152: encoder input_layer="none" (Identity) —
+        # per-segment abs pos + input Linear are applied by the model
+        input_layer, enc_pos = "none", "none"
+    else:
+        input_layer, enc_pos = "linear_relu", pos_map.get(pos_enc, "none")
     return TransformerConfig(
-        input_size=conf.get("embed_unit", 128),
+        input_size=conf.get("att_unit", 256) if pe_type == "split" else conf.get("embed_unit", 128),
         attention_dim=conf.get("att_unit", 256),
         attention_heads=conf.get("head", 2),
         linear_units=conf.get("unit", 1024),
         num_blocks=conf.get("layer", 4),
         dropout_rate=conf.get("dropout_rate", 0.5),
-        input_layer="linear_relu",  # TransformerEncoder_s0 'linear' has ReLU
-        pos_enc_type=pos_map.get(pos_enc, "none"),
+        input_layer=input_layer,
+        pos_enc_type=enc_pos,
         activation="relu",
     )
 
@@ -69,6 +71,7 @@ def build_laura_model(config: Dict[str, Any], token_list: Optional[List[str]] = 
     model_conf = dict(config.get("model_conf", {}))
     codec_conf = model_conf.get("codec_conf", {})
     codec_lm_conf = dict(model_conf.get("codec_lm_conf", {}))
+    lm_pe = codec_lm_conf.get("pe_type", "split")
     codec_lm_conf.pop("name", None)
     codec_lm_conf.pop("bidirectional_inputs", None)  # always on in our mask path
     codec_lm_conf.pop("codec_groups", None)
@@ -86,6 +89,7 @@ def build_laura_model(config: Dict[str, Any], token_list: Optional[List[str]] = 
         lsm_weight=model_conf.get("lsm_weight", 0.1),
         length_normalized_loss=model_conf.get("length_normalized_loss", True),
         pos_emb_type=model_conf.get("pos_emb_type", "split"),
+        lm_pe_type=codec_lm_conf.get("pe_type", "split"),
     )
 
     text_encoder_cfg = None
@@ -97,7 +101,8 @@ def build_laura_model(config: Dict[str, Any], token_list: Optional[List[str]] = 
         config.get("codec_encoder_conf", {}), cfg.codebook_dim
     )
     lm_cfg = _lm_cfg_from_conf(codec_lm_conf)
-    assert lm_cfg.input_size == cfg.codebook_dim, (
-        "codec LM embed_unit must equal codebook_dim"
-    )
+    if lm_pe != "split":
+        assert lm_cfg.input_size == cfg.codebook_dim, (
+            "codec LM embed_unit must equal codebook_dim"
+        )
     return LauraGenModel(cfg, text_encoder_cfg, codec_encoder_cfg, lm_cfg)

@@ -186,3 +186,96 @@ def test_laura_scheduled_sampling_path():
     )(params)
     leaves = [float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g["codec_lm"])]
     assert max(leaves) > 0
+
+
+def _build_pair_split(torch, predict_nq=2):
+    """Pair with the LM in pe_type='split' + sinusoidal abs pos."""
+    from funcodec.models.encoder.conformer_encoder import ConformerEncoder
+    from funcodec.models.audio_generation.laura_model import LauraGenModel as RefLaura
+
+    input_size, att, cb_dim = 20, 32, 16
+    enc_kw = dict(
+        output_size=att, attention_heads=4, linear_units=48, num_blocks=2,
+        dropout_rate=0.0, positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+        input_layer="linear", normalize_before=True, rel_pos_type="latest",
+        pos_enc_layer_type="rel_pos", selfattention_layer_type="rel_selfattn",
+        use_cnn_module=False,
+    )
+    ref = RefLaura(
+        input_size=input_size,
+        text_encoder=ConformerEncoder(input_size=input_size, **enc_kw),
+        codec_encoder=ConformerEncoder(input_size=cb_dim, **enc_kw),
+        codec_conf=dict(num_quantizers=8, codebook_size=1024, codebook_dim=cb_dim),
+        codec_lm_conf=dict(
+            name="transformer", pos_enc="sinusoidal",
+            selfattention_layer_type="selfattn",
+            embed_unit=cb_dim, att_unit=att, head=4, unit=48, layer=2,
+            dropout_rate=0.0, pe_type="split", bidirectional_inputs=True,
+            codec_groups=1,
+        ),
+        codec_sampling_ratio=0.0, lsm_weight=0.0,
+        length_normalized_loss=True, predict_nq=predict_nq,
+    ).eval()
+    import torch as _t
+
+    with _t.no_grad():
+        ref.quantizer_codebook.embed.normal_(0, 0.5)
+
+    cfg = LauraConfig(
+        input_size=input_size, num_quantizers=8, codebook_size=1024,
+        codebook_dim=cb_dim, predict_nq=predict_nq, lsm_weight=0.0,
+        lm_pe_type="split",
+    )
+    enc_cfg = TransformerConfig(
+        input_size=input_size, attention_dim=att, attention_heads=4,
+        linear_units=48, num_blocks=2, input_layer="linear",
+        pos_enc_type="rel_pos", activation="swish",
+    )
+    codec_enc_cfg = TransformerConfig(
+        input_size=cb_dim, attention_dim=att, attention_heads=4,
+        linear_units=48, num_blocks=2, input_layer="linear",
+        pos_enc_type="rel_pos", activation="swish",
+    )
+    lm_cfg = TransformerConfig(
+        input_size=att, attention_dim=att, attention_heads=4,
+        linear_units=48, num_blocks=2, input_layer="none", pos_enc_type="none",
+    )
+    model = LauraGenModel(cfg, enc_cfg, codec_enc_cfg, lm_cfg)
+    params = import_laura(ref.state_dict(), model)
+    return ref, model, params
+
+
+def test_laura_split_pe_forward_parity(torch):
+    ref, model, params = _build_pair_split(torch)
+    text = torch.randn(2, 6, 20)
+    text_lengths = torch.tensor([6, 4])
+    codec = torch.randint(0, 1024, (2, 10, 8))
+    codec_lengths = torch.tensor([10, 7])
+    with torch.no_grad():
+        loss_ref, stats_ref, _ = ref(text, text_lengths, codec, codec_lengths)
+    loss, stats = model.forward(
+        params,
+        jnp.asarray(text.numpy()), jnp.asarray(text_lengths.numpy()),
+        jnp.asarray(codec.numpy()), jnp.asarray(codec_lengths.numpy()),
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=3e-4)
+    np.testing.assert_allclose(
+        float(stats["nll_loss"]), float(stats_ref["nll_loss"]), rtol=3e-4
+    )
+
+
+def test_laura_split_pe_decode_parity(torch):
+    ref, model, params = _build_pair_split(torch)
+    text = torch.randn(1, 5, 20)
+    text_lengths = torch.tensor([5])
+    with torch.no_grad():
+        ref_tokens = ref.decode_codec(
+            ref.encode(text, text_lengths)[0], text_lengths,
+            max_length=10, sampling=False,
+        ).numpy()
+    tokens = model.decode_codec(
+        params, jnp.asarray(text.numpy()), jnp.asarray(text_lengths.numpy()),
+        max_length=10, sampling=False, key=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_array_equal(tokens, ref_tokens)
