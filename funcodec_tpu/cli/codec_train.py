@@ -123,6 +123,7 @@ def main(argv=None):
         disc_grad_clip=config.get("disc_grad_clip", -1),
         sampling_rate=config.get("sampling_rate", 16000),
         accum_grad=config.get("accum_grad", 1),
+        grad_noise=config.get("grad_noise", False),
         batch_type=config.get("batch_type", "unsorted"),
         batch_bins=config.get("batch_bins", 4_000_000),
     )

@@ -81,6 +81,7 @@ class TrainerOptions:
     sampling_rate: int = 16000
     use_tensorboard: bool = True
     accum_grad: int = 1
+    grad_noise: bool = False
     batch_type: str = "unsorted"  # unsorted | sorted | length
     batch_bins: int = 4_000_000  # for batch_type=length (samples per batch)
 
@@ -106,6 +107,7 @@ class GANCodecTrainer:
             betas=tuple(o.optim_conf.get("betas", (0.5, 0.9))),
             grad_clip=o.grad_clip,
             accum_grad=o.accum_grad,
+            grad_noise=o.grad_noise,
         )
         self.optimizer_d = make_optimizer(
             lr=o.optim2_conf.get("lr", 3e-4),

@@ -58,12 +58,17 @@ def make_optimizer(
     grad_clip: float = -1.0,
     schedule: Optional[Callable] = None,
     accum_grad: int = 1,
+    grad_noise: bool = False,
 ) -> optax.GradientTransformation:
     """Adam (+ optional global-norm clip, + gradient accumulation) matching
     the recipe optimizers (encodec_16k_n32_600k_step.yaml:53-68; accum_grad
     semantics of trainer.py:669-719: optimizer steps every `accum_grad`
     iterations on the averaged gradients)."""
     chain = []
+    if grad_noise:
+        # gradient noise injection (trainer.py grad_noise flag; annealed
+        # Gaussian noise per arXiv:1511.06807, eta/(1+t)^0.55)
+        chain.append(optax.add_noise(eta=0.01, gamma=0.55, key=0))
     if grad_clip and grad_clip > 0:
         chain.append(optax.clip_by_global_norm(grad_clip))
     lr_arg = schedule if schedule is not None else lr
