@@ -69,10 +69,6 @@ class Quantizer:
     def __init__(self, cfg: QuantizerConfig):
         self.cfg = cfg
         self.rvq_cfg = cfg.rvq()
-        if cfg.q0_ds_ratio > 1:
-            raise NotImplementedError(
-                "q0_ds_ratio > 1 (time-interpolated q0) not yet supported"
-            )
 
     # -- state/params ------------------------------------------------------
 

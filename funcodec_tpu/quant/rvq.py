@@ -302,7 +302,8 @@ def rvq_train_forward(
     """
     n_q = n_q or cfg.num_quantizers
     B, T, D = x.shape
-    flat = x.reshape(B * T, D).astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    flat = x32.reshape(B * T, D)
 
     # quantizer dropout: keep `cutoff` layers this step (ddp :378-380)
     if cfg.quantize_dropout and cfg.rand_num_quant:
@@ -314,6 +315,29 @@ def rvq_train_forward(
 
     keys = jax.random.split(key, n_q)
     layer_ids = jnp.arange(n_q)
+
+    # q0 at reduced time resolution (ddp :354-356, :396-406): quantizer 0 runs
+    # on a nearest-resized T//2 input and its outputs are nearest-upsampled
+    # back; affects the TRAINING forward only (encode/decode treat all layers
+    # uniformly, matching the reference).
+    start_layer = 0
+    q0_outputs = None
+    if cfg.q0_ds_ratio > 1:
+        t_ds = T // 2  # reference hardcodes tt//2 regardless of the ratio
+        x_ds = _nearest_time_resize(x32, t_ds).reshape(B * t_ds, D)
+        q0, idx0, i0, c0, e0, a0 = _train_one_quantizer(
+            cfg, x_ds, state.inited[0], state.cluster_size[0],
+            state.embed[0], state.embed_avg[0], jnp.bool_(True), keys[0],
+        )
+        q0_ste = x_ds + lax.stop_gradient(q0 - x_ds)
+        commit0 = jnp.mean((lax.stop_gradient(q0) - x_ds) ** 2) * cfg.commitment_weight
+        q0_up = _nearest_time_resize(q0_ste.reshape(B, t_ds, D), T)
+        idx0_up = _nearest_time_resize(
+            idx0.reshape(B, t_ds, 1).astype(jnp.float32), T
+        )[..., 0].astype(jnp.int32)
+        flat = (x32 - q0_up).reshape(B * T, D)
+        q0_outputs = (idx0_up, commit0, q0_up, (i0, c0, e0, a0))
+        start_layer = 1
 
     def step(residual, xs):
         layer_id, k, inited_q, cluster_q, embed_q, avg_q = xs
@@ -346,27 +370,44 @@ def rvq_train_forward(
         )
 
     xs = (
-        layer_ids,
-        keys,
-        state.inited[:n_q],
-        state.cluster_size[:n_q],
-        state.embed[:n_q],
-        state.embed_avg[:n_q],
+        layer_ids[start_layer:],
+        keys[start_layer:],
+        state.inited[start_layer:n_q],
+        state.cluster_size[start_layer:n_q],
+        state.embed[start_layer:n_q],
+        state.embed_avg[start_layer:n_q],
     )
     _, ys = lax.scan(step, flat, xs)
     (idxs, commits, sub_quants, quant_steps, n_inited, n_cluster, n_embed, n_avg) = ys
 
-    quantized_out = jnp.sum(quant_steps, axis=0).reshape(B, T, D).astype(x.dtype)
+    quantized_out = jnp.sum(quant_steps, axis=0).reshape(B, T, D)
 
     new_state = RVQState(
-        inited=state.inited.at[:n_q].set(n_inited),
-        cluster_size=state.cluster_size.at[:n_q].set(n_cluster),
-        embed=state.embed.at[:n_q].set(n_embed),
-        embed_avg=state.embed_avg.at[:n_q].set(n_avg),
+        inited=state.inited.at[start_layer:n_q].set(n_inited),
+        cluster_size=state.cluster_size.at[start_layer:n_q].set(n_cluster),
+        embed=state.embed.at[start_layer:n_q].set(n_embed),
+        embed_avg=state.embed_avg.at[start_layer:n_q].set(n_avg),
     )
 
-    indices = idxs.reshape(n_q, B, T)
-    sub_quants = sub_quants.reshape(n_q, B, T, D)
+    indices = idxs.reshape(n_q - start_layer, B, T)
+    sub_quants = sub_quants.reshape(n_q - start_layer, B, T, D)
+
+    if q0_outputs is not None:
+        idx0_up, commit0, q0_up, (i0, c0, e0, a0) = q0_outputs
+        quantized_out = quantized_out + q0_up.reshape(B, T, D)
+        indices = jnp.concatenate([idx0_up[None], indices], axis=0)
+        commits = jnp.concatenate([commit0[None], commits], axis=0)
+        sub_quants = jnp.concatenate(
+            [q0_up.reshape(1, B, T, D), sub_quants], axis=0
+        )
+        new_state = RVQState(
+            inited=new_state.inited.at[0].set(jnp.maximum(i0, state.inited[0])),
+            cluster_size=new_state.cluster_size.at[0].set(c0),
+            embed=new_state.embed.at[0].set(e0),
+            embed_avg=new_state.embed_avg.at[0].set(a0),
+        )
+
+    quantized_out = quantized_out.astype(x.dtype)
     return quantized_out, indices, commits, sub_quants, new_state
 
 

@@ -225,3 +225,40 @@ def test_kmeans_init_runs_once():
     # quantized output should be a reasonable approximation after kmeans
     err = float(jnp.mean((q2 - x) ** 2) / jnp.mean(x**2))
     assert err < 0.9  # meaningfully better than the zero-codebook baseline (1.0)
+
+
+def test_q0_ds_ratio_train_forward_parity(torch):
+    """q0 at half time resolution (ddp_core_vq.py:396-406)."""
+    from funcodec.modules.quantization.ddp_core_vq import (
+        DistributedResidualVectorQuantization,
+    )
+
+    n_q, bins, dim, decay = 3, 32, 8, 0.9
+    m = DistributedResidualVectorQuantization(
+        num_quantizers=n_q, dim=dim, codebook_size=bins, decay=decay,
+        kmeans_init=False, kmeans_iters=5, threshold_ema_dead_code=2,
+        quantize_dropout=False, rand_num_quant=None, q0_ds_ratio=2,
+    )
+    m.train()
+    cfg = RVQConfig(
+        dim=dim, codebook_size=bins, num_quantizers=n_q, decay=decay,
+        kmeans_init=False, q0_ds_ratio=2, expiry_mode="reference",
+    )
+    state = _state_from_ref(m)
+    x = torch.randn(2, dim, 20)
+    q_ref, idx_ref, losses_ref, subq_ref = m(x)
+
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    q, idx, commits, subq, new_state = rvq_train_forward(
+        cfg, state, x_j, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
+    np.testing.assert_allclose(
+        np.asarray(q).transpose(0, 2, 1), q_ref.detach().numpy(), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(commits), losses_ref.detach().numpy().reshape(-1), atol=1e-6, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.embed), m.embed.numpy(), atol=1e-5, rtol=1e-4
+    )
