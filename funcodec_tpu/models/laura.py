@@ -122,12 +122,21 @@ class LauraGenModel:
         text_encoder_cfg: Optional[TransformerConfig],
         codec_encoder_cfg: TransformerConfig,
         codec_lm_cfg: TransformerConfig,
+        input_aug_conf: Optional[dict] = None,
+        output_aug_conf: Optional[dict] = None,
+        input_normalize: bool = False,
     ):
         self.cfg = cfg
         self.text_encoder_cfg = text_encoder_cfg
         self.codec_encoder_cfg = codec_encoder_cfg
         # LM input is codebook_dim-dimensional embeddings
         self.codec_lm_cfg = codec_lm_cfg
+        # Training-time LM input regularizers (transformer_lm.py:171-184):
+        # SpecAug over the text-embedding prefix / codec-embedding suffix,
+        # optional utterance MVN on the prefix.
+        self.input_aug_conf = input_aug_conf
+        self.output_aug_conf = output_aug_conf
+        self.input_normalize = input_normalize
 
     # -- init ----------------------------------------------------------------
 
@@ -204,6 +213,24 @@ class LauraGenModel:
                 h = tfm._apply_linear(params["text_enc_out_layer"], text)
         return h, text_lengths
 
+    def _aug_segment(self, seg, lengths, conf, key):
+        """SpecAug one LM segment, restricted to valid rows, with identity
+        gradients (transformer_lm.py:218-236 mutates under no_grad, so values
+        change but the autograd graph is untouched). Mask spans are drawn over
+        the padded buffer rather than per-sample exact-length slices — same
+        regularizer, vectorized."""
+        from funcodec_tpu.ops import augment as aug_ops
+
+        kwargs = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in conf.items()
+            if k not in ("apply_time_warp", "time_warp_window", "time_warp_mode")
+        }
+        auged = aug_ops.spec_aug(seg, key, **kwargs)
+        valid = make_pad_mask_bool(lengths, seg.shape[1])[..., None]
+        auged = jnp.where(valid, auged, seg)
+        return seg + lax.stop_gradient(auged - seg)
+
     def build_llm_io(
         self,
         params,
@@ -211,10 +238,22 @@ class LauraGenModel:
         text_lengths: jnp.ndarray,
         codec: Optional[jnp.ndarray] = None,  # (B, Lc, nq)
         codec_lengths: Optional[jnp.ndarray] = None,
+        aug_key=None,  # training only: enables input/output aug + MVN
     ):
         """[sos, text, task] (+ codec embs) inputs (laura_model.py:191-239)."""
         cfg = self.cfg
         B, Lt = text.shape[0], text.shape[1]
+        if aug_key is not None:
+            k_in, k_out = jax.random.split(aug_key)
+            if self.input_aug_conf is not None:
+                text = self._aug_segment(text, text_lengths, self.input_aug_conf, k_in)
+            if self.input_normalize:
+                from funcodec_tpu.ops.augment import utterance_mvn
+
+                normed = utterance_mvn(text, text_lengths)
+                valid = make_pad_mask_bool(text_lengths, Lt)[..., None]
+                normed = jnp.where(valid, normed, text)
+                text = text + lax.stop_gradient(normed - text)
         sos = jnp.broadcast_to(
             params["lm_embedding"][cfg.sos_eos][None, None], (B, 1, cfg.codebook_dim)
         )
@@ -227,6 +266,11 @@ class LauraGenModel:
         total = 2 + Lt
         if codec is not None:
             codec_emb = self.calc_dense_vector(params, codec, codec_lengths)
+            if aug_key is not None and self.output_aug_conf is not None:
+                # reference aug length: input_lengths - speech_len - 2 = Lc - 1
+                codec_emb = self._aug_segment(
+                    codec_emb, codec_lengths - 1, self.output_aug_conf, k_out
+                )
             segments.append(codec_emb)
             seg_lens.append(codec_lengths.astype(jnp.int32))
             total += codec.shape[1]
@@ -270,7 +314,7 @@ class LauraGenModel:
         h = apply_encoder(self.codec_lm_cfg, params["codec_lm"], inputs, mask)
         return tfm._apply_linear(params["lm_decoder"], h)
 
-    def nll(self, params, text, text_lengths, codec, codec_lengths):
+    def nll(self, params, text, text_lengths, codec, codec_lengths, aug_key=None):
         """First-nq LM loss pieces (laura_model.py:241-294).
 
         Returns (nll (B, Lc+1, nq), logits (B, Lc+1, nq, V), target, y_lengths).
@@ -278,7 +322,7 @@ class LauraGenModel:
         cfg = self.cfg
         B, Lc = codec.shape[0], codec.shape[1]
         inputs, input_lengths = self.build_llm_io(
-            params, text, text_lengths, codec, codec_lengths
+            params, text, text_lengths, codec, codec_lengths, aug_key=aug_key
         )
         y = self._lm_forward(params, inputs, input_lengths, text_lengths + 1)
         V = cfg.codebook_size + 1
@@ -407,8 +451,12 @@ class LauraGenModel:
         codec = codec.astype(jnp.int32)
         text, text_lengths = self.encode_text(params, text, text_lengths)
 
+        aug_key = None
+        if self.input_aug_conf or self.output_aug_conf or self.input_normalize:
+            aug_key, key = jax.random.split(key)
         nll, logits, target, target_lengths = self.nll(
-            params, text, text_lengths, codec[:, :, : cfg.predict_nq], codec_lengths
+            params, text, text_lengths, codec[:, :, : cfg.predict_nq], codec_lengths,
+            aug_key=aug_key,
         )
         out_mask = make_pad_mask_bool(target_lengths, nll.shape[1])[..., None]
         total = jnp.sum(out_mask) * cfg.predict_nq

@@ -48,6 +48,10 @@ MATMUL_STRIDED = False
 MATMUL_TRANSPOSED = False
 MATMUL_STRIDE1 = False
 
+# Fused Pallas stride-1 conv (pad spliced in VMEM, unfold matmul on the MXU;
+# ops/conv_pallas.py). Saves the materialized pad copy per streamable conv.
+PALLAS_STRIDE1 = False
+
 
 def _as_pair(x) -> Tuple[int, int]:
     if isinstance(x, (tuple, list)):
@@ -341,6 +345,21 @@ def apply_sconv1d(
     extra = extra_padding_for_conv1d(x.shape[1], k, s, padding_total)
     left, right = split_padding(padding_total, spec.causal)
     kernel = fused_kernel(params).astype(x.dtype)
+
+    if PALLAS_STRIDE1 and s == 1 and spec.groups == 1 and k > 1:
+        from funcodec_tpu.ops.conv_pallas import fused_conv1d_s1
+
+        y = fused_conv1d_s1(
+            x,
+            kernel,
+            params.get("bias", jnp.zeros((spec.out_channels,), x.dtype)),
+            left,
+            right + extra,  # extra == 0 for s == 1
+            dilation=d,
+            pad_mode=spec.pad_mode,
+        )
+        if y is not None:
+            return _apply_post_norm(spec, params, y)
 
     max_pad = max(left, right + extra)
     foldable = (

@@ -75,6 +75,10 @@ def build_laura_model(config: Dict[str, Any], token_list: Optional[List[str]] = 
     codec_lm_conf.pop("name", None)
     codec_lm_conf.pop("bidirectional_inputs", None)  # always on in our mask path
     codec_lm_conf.pop("codec_groups", None)
+    # training-time LM input regularizers (transformer_lm.py:110-114)
+    input_aug_conf = codec_lm_conf.pop("input_aug_conf", None)
+    output_aug_conf = codec_lm_conf.pop("output_aug_conf", None)
+    input_normalize = codec_lm_conf.pop("input_normalize", False)
 
     vocab = len(token_list) if token_list else 0
 
@@ -105,4 +109,12 @@ def build_laura_model(config: Dict[str, Any], token_list: Optional[List[str]] = 
         assert lm_cfg.input_size == cfg.codebook_dim, (
             "codec LM embed_unit must equal codebook_dim"
         )
-    return LauraGenModel(cfg, text_encoder_cfg, codec_encoder_cfg, lm_cfg)
+    return LauraGenModel(
+        cfg,
+        text_encoder_cfg,
+        codec_encoder_cfg,
+        lm_cfg,
+        input_aug_conf=input_aug_conf,
+        output_aug_conf=output_aug_conf,
+        input_normalize=input_normalize,
+    )

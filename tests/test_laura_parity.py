@@ -279,3 +279,37 @@ def test_laura_split_pe_decode_parity(torch):
         max_length=10, sampling=False, key=jax.random.PRNGKey(0),
     )
     np.testing.assert_array_equal(tokens, ref_tokens)
+
+
+def test_laura_lm_input_aug():
+    """input_aug/output_aug/input_normalize on the LM inputs: finite loss,
+    gradients still flow, and the loss differs from the un-augmented run
+    (transformer_lm.py:216-236)."""
+    import torch
+
+    ref, model, params = _build_pair(torch)
+    aug_conf = dict(
+        apply_freq_mask=True, freq_mask_width_range=(0, 4), num_freq_mask=1,
+        apply_time_mask=True, time_mask_width_range=(1, 3), num_time_mask=1,
+    )
+    aug_model = LauraGenModel(
+        model.cfg, model.text_encoder_cfg, model.codec_encoder_cfg,
+        model.codec_lm_cfg,
+        input_aug_conf=aug_conf, output_aug_conf=aug_conf, input_normalize=True,
+    )
+    args = (
+        jnp.asarray(np.random.RandomState(0).randn(2, 4, 20).astype(np.float32)),
+        jnp.asarray([4, 3]),
+        jnp.asarray(np.random.RandomState(1).randint(0, 1024, (2, 6, 8))),
+        jnp.asarray([6, 5]),
+    )
+    loss_plain, _ = model.forward(params, *args, jax.random.PRNGKey(3))
+    loss_aug, stats = aug_model.forward(params, *args, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss_aug))
+    assert abs(float(loss_aug) - float(loss_plain)) > 1e-6
+    g = jax.grad(
+        lambda p: aug_model.forward(p, *args, jax.random.PRNGKey(3))[0]
+    )(params)
+    for sub in ("codec_lm", "text_encoder"):
+        leaves = [float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g[sub])]
+        assert max(leaves) > 0, sub
