@@ -8,6 +8,7 @@ pad to max length, emit *_lengths companions).
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -92,8 +93,47 @@ class _Hdf5Source:
         return self.file[key][()]
 
 
+class _RandSource:
+    """rand_float / rand_int_L_H debug sources (fileio/rand_gen_dataset.py:11-66):
+    a shape file `utt 123,83` yields random arrays of that shape."""
+
+    def __init__(self, path: str, dtype, low: int = 0, high: int = 1):
+        self.shapes: Dict[str, Tuple[int, ...]] = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split(maxsplit=1)
+                if len(parts) == 2:
+                    self.shapes[parts[0]] = tuple(
+                        int(x) for x in parts[1].split(",")
+                    )
+        self.dtype = np.dtype(dtype)
+        self.low, self.high = low, high
+
+    def keys(self):
+        return self.shapes.keys()
+
+    def __getitem__(self, key):
+        shape = self.shapes[key]
+        if self.dtype.kind == "f":
+            return np.random.randn(*shape).astype(self.dtype)
+        return np.random.randint(self.low, self.high, size=shape).astype(self.dtype)
+
+
+def resolve_data_type(typ: str) -> Callable[[str], Any]:
+    """DATA_TYPES lookup with the reference's regex entry rand_int_\\d+_\\d+
+    (dataset.py:245-252)."""
+    if typ in DATA_TYPES:
+        return DATA_TYPES[typ]
+    m = re.fullmatch(r"rand_int_(\d+)_(\d+)", typ)
+    if m:
+        low, high = int(m.group(1)), int(m.group(2))
+        return lambda p: _RandSource(p, np.int64, low, high)
+    raise ValueError(f"unsupported data type {typ}")
+
+
 DATA_TYPES: Dict[str, Callable[[str], Any]] = {
     "sound": _SoundSource,
+    "rand_float": lambda p: _RandSource(p, np.float32),
     "kaldi_ark": _ArkSource,
     "npy": _NpySource,
     "hdf5": _Hdf5Source,
@@ -121,9 +161,7 @@ class CodecDataset:
         assert path_name_type_list
         self.sources: Dict[str, Any] = {}
         for path, name, typ in path_name_type_list:
-            if typ not in DATA_TYPES:
-                raise ValueError(f"unsupported data type {typ}")
-            self.sources[name] = DATA_TYPES[typ](path)
+            self.sources[name] = resolve_data_type(typ)(path)
         self.preprocess = preprocess
         first = next(iter(self.sources.values()))
         keys = set(first.keys())

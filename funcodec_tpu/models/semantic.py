@@ -10,6 +10,13 @@ PPG usage modes:
 - "addition": quantize emb; decoder input = quantized + ppg_emb
 - "concat" (default else-branch): decoder input = conv([ppg_emb; quantized])
 - "supervision": plain codec + HuBERT-style phoneme CE on the first quantizer
+- "ptts": quantize emb; decoder input = quantized + ppg_emb + utt_level_emb.
+  NOTE: the reference calls self.calc_utt_level_emb (codec_semantic_aug.py:435,
+  :464) but never defines it anywhere in the repo — the published "ptts" mode
+  crashes with AttributeError. We define the utterance-level embedding as the
+  time-mean of the pre-quantizer encoder embedding passed through a small
+  projection, which matches the evident intent (a per-utterance speaker/style
+  vector broadcast over time).
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ class SemanticCodecConfig(EncodecConfig):
     ppg_dim: int = 86
     ppg_ds_rate: int = 2
     ppg_ds_type: str = "conv"  # conv | subsample
-    ppg_usage_mod: str = "residual"  # residual | addition | concat | supervision
+    ppg_usage_mod: str = "residual"  # residual | addition | concat | supervision | ptts
     ppg_supervision_weight: float = 1.0
     ppg_supervision_loss_weight: float = 1.0
 
@@ -66,7 +73,24 @@ class CodecSemanticAug(Encodec):
         params["ppg_cond_layer"] = init_layers(keys[2], self.ppg_cond_layers)
         if cfg.ppg_usage_mod == "supervision":
             params["ppg_classifier"] = init_layers(keys[3], self.ppg_classifier_layers)
+        if cfg.ppg_usage_mod == "ptts":
+            k = jax.random.fold_in(keys[3], 1)
+            bound = 1.0 / jnp.sqrt(cfg.odim)
+            params["utt_level_proj"] = {
+                "kernel": jax.random.uniform(
+                    k, (cfg.odim, cfg.odim), minval=-bound, maxval=bound
+                ),
+                "bias": jnp.zeros((cfg.odim,)),
+            }
         return params, rvq_state
+
+    def _utt_level_emb(self, params, emb: jnp.ndarray) -> jnp.ndarray:
+        """Per-utterance style vector: time-mean of the pre-quantizer encoder
+        embedding through a linear projection, broadcast over time (the
+        reference's calc_utt_level_emb is undefined — see module docstring)."""
+        pooled = jnp.mean(emb, axis=1, keepdims=True)  # (B, 1, odim)
+        p = params["utt_level_proj"]
+        return pooled @ p["kernel"] + p["bias"]
 
     # -- ppg processing (codec_semantic_aug.py:357-395) -----------------------
 
@@ -132,6 +156,9 @@ class CodecSemanticAug(Encodec):
             elif cfg.ppg_usage_mod == "addition":
                 q, idx, commit, _ = quantize(emb)
                 decoder_in = q + seg
+            elif cfg.ppg_usage_mod == "ptts":
+                q, idx, commit, _ = quantize(emb)
+                decoder_in = q + seg + self._utt_level_emb(params, emb)
             elif cfg.ppg_usage_mod == "supervision":
                 q, idx, commit, subq = quantize(emb)
                 decoder_in = q
@@ -241,6 +268,11 @@ class CodecSemanticAug(Encodec):
                     params["quantizer"], rvq_state, emb, bandwidth=bit_width
                 )
                 decoder_in = q + seg
+            elif cfg.ppg_usage_mod == "ptts":
+                q, indices, _ = self.quantizer.inference(
+                    params["quantizer"], rvq_state, emb, bandwidth=bit_width
+                )
+                decoder_in = q + seg + self._utt_level_emb(params, emb)
             elif cfg.ppg_usage_mod == "supervision":
                 q, indices, _ = self.quantizer.inference(
                     params["quantizer"], rvq_state, emb, bandwidth=bit_width

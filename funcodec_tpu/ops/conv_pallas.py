@@ -47,8 +47,8 @@ def _apply_act(x, act):
 def _kernel(
     x_hbm,      # (B, T, C) ANY/HBM
     ledge_ref,  # (B, max(left,1), C) VMEM
-    redge_ref,  # (B, max(right,1), C) VMEM
-    w_ref,      # (K*C, O) VMEM
+    redge_ref,  # (B, >= m+right, C) VMEM tail buffer: x[T-m:T] ++ right pad
+    w_ref,      # (K, C, O) VMEM
     b_ref,      # (1, O) VMEM
     o_ref,      # (1, TILE, O) VMEM block
     scratch,    # (W, C) VMEM
@@ -60,51 +60,69 @@ def _kernel(
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
     span = (K - 1) * dil + 1
-    W = TILE + span - 1
+    W = TILE + span - 1  # rows the conv actually reads
+    # Mosaic requires HBM slice starts AND lengths 8-aligned. The window
+    # start u0 = t*TILE - left is congruent to -left mod 8 for every tile
+    # (TILE % 8 == 0), so fetching from u0 - a with a = (-left) % 8 is
+    # always aligned, and the window sits at static scratch offset `a`.
+    a = (-left) % 8
+    Wd = scratch.shape[0]  # = TILE + ceil((span - 1 + a) / 8) * 8
 
-    # Window for output rows [t*TILE, (t+1)*TILE) covers padded rows
-    # [t*TILE, t*TILE + W); in unpadded coordinates it starts at u0.
     u0 = t * TILE - left
-    start_c = jnp.clip(u0, 0, T - W)
-    dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(start_c, W), :], scratch, sem)
+    ub8 = (T - Wd) // 8 * 8  # top clamp, kept 8-aligned
+    start_c = jnp.clip(u0 - a, 0, ub8)
+    dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(start_c, Wd), :], scratch, sem)
     dma.start()
     dma.wait()
 
     if left > 0:
         @pl.when(t == 0)
         def _():
-            # scratch holds x[0:W]; window wants [left pad rows][x[0:W-left]].
+            # scratch holds x[0:Wd]; window row w (at scratch[a+w]) wants
+            # x[w-left] -> roll right by a+left, splice pad rows at [a, a+left).
             data = scratch[:]
-            fixed = jnp.concatenate(
-                [ledge_ref[b, 0:left, :], data[: W - left, :]], axis=0
+            r = a + left
+            data = jnp.concatenate([data[Wd - r :, :], data[: Wd - r, :]], axis=0)
+            data = jnp.concatenate(
+                [data[:a, :], ledge_ref[b, 0:left, :], data[a + left :, :]], axis=0
             )
-            scratch[:] = fixed
+            scratch[:] = data
 
-    t_right = n_t - 1  # host wrapper guarantees only the last tile hits T
-    # The last tile's DMA start gets clamped to T-W whenever its window
-    # crosses T (ragged T and/or right padding): the data then sits `shift`
-    # rows too early relative to the window. shift and pos are static
-    # because T/TILE/left are static.
-    shift = (t_right * TILE - left) - (T - W)
-    pos = T - (t_right * TILE - left)  # window row where right padding begins
-    if shift > 0 or right > 0:
+    t_right = n_t - 1  # host wrapper guarantees only the last tile clamps
+    # The last tile's DMA start clamps to ub8; its data sits `shift` rows too
+    # early relative to the window. The aligned fetch also misses the last
+    # m = (T - Wd) % 8 real rows — the tail buffer carries x[T-m:T] plus the
+    # right padding, spliced as one block. All offsets are static.
+    m = (T - Wd) % 8
+    tail_len = m + right
+    shift = (t_right * TILE - left - a) - ((T - Wd) // 8 * 8)
+    pos = T - m - (t_right * TILE - left)  # window row where the tail begins
+    if shift > 0 or tail_len > 0:
         @pl.when(t == t_right)
         def _():
             data = scratch[:]
             if shift > 0:
                 data = jnp.concatenate([data[shift:, :], data[:shift, :]], axis=0)
-            if right > 0:
+            if tail_len > 0:
+                p = a + pos
                 data = jnp.concatenate(
-                    [data[:pos, :], redge_ref[b, 0:right, :], data[pos + right :, :]],
+                    [data[:p, :], redge_ref[b, 0:tail_len, :], data[p + tail_len :, :]],
                     axis=0,
                 )
             scratch[:] = data
 
+    # Per-tap matmul accumulation (rather than an unfold+concat into one
+    # (TILE, K*C) operand): Mosaic cannot lane-concat slices with distinct
+    # sublane offsets for narrow C, and K accumulated MXU calls carry the
+    # same total contraction depth.
     xin = _apply_act(scratch[:], act)
-    cols = [xin[k * dil : k * dil + TILE, :] for k in range(K)]
-    xu = jnp.concatenate(cols, axis=-1)  # (TILE, K*C)
-    y = jnp.dot(xu, w_ref[:], preferred_element_type=jnp.float32)
-    y = y + b_ref[0, :][None, :].astype(jnp.float32)
+    y = b_ref[0, :][None, :].astype(jnp.float32)
+    for k in range(K):
+        y = y + jnp.dot(
+            xin[a + k * dil : a + k * dil + TILE, :],
+            w_ref[k],
+            preferred_element_type=jnp.float32,
+        )
     o_ref[0] = y.astype(o_ref.dtype)
 
 
@@ -133,15 +151,22 @@ INTERPRET = False
 
 def pick_tile(T: int, K: int, dil: int, right: int, want: int) -> Optional[int]:
     """Choose a tile size such that
-      - W = tile + span - 1 <= T           (clamped DMA start stays >= 0)
-      - only the LAST tile's window crosses T: (T-1) % tile + 1 >= right
+      - Wd = round8(tile + span - 1) <= T  (clamped DMA start stays >= 0)
+      - only the LAST tile's DMA window crosses T:
+        (T-1) % tile + 1 >= right + (Wd - W)
+      - tile >= left (only tile 0 needs left-pad values)
       - tile % 8 == 0 (sublane alignment), tile >= 8
     Returns None if no valid tile exists (caller falls back to XLA)."""
     span = (K - 1) * dil + 1
     left = span - 1 - right
-    tile = min(want, (T - span + 1) // 8 * 8)
+    a = (-left) % 8
+    E = -(-(span - 1 + a) // 8) * 8  # Wd - tile (DMA overhang)
+    tile = min(want, (T - E) // 8 * 8)
     while tile >= max(8, left):
-        if (T - 1) % tile + 1 >= right:
+        # only the last tile's aligned DMA window may cross T:
+        # worst non-last tile needs (n_t-1)*tile - left - a + Wd <= T,
+        # i.e. remainder r = T - (n_t-1)*tile >= E - left - a.
+        if T - (-(-T // tile) - 1) * tile >= E - left - a and -(-T // tile) >= 2:
             return tile
         tile -= 8
     return None
@@ -156,12 +181,21 @@ def _fused_conv1d_s1_impl(x, kernel, bias, K, dil, left, right, pad_mode, act, t
     O = kernel.shape[-1]
     n_t = -(-T // tile)
     span = (K - 1) * dil + 1
-    W = tile + span - 1
+    a = (-left) % 8
+    W = tile + -(-(span - 1 + a) // 8) * 8  # scratch rows (8-aligned DMA width)
 
     ledge, redge = _edge_buffers(x, left, right, pad_mode)
     # (no activation on the edges here: the kernel applies `act` to the whole
     # spliced window, and reflect/replicate pads commute with pointwise acts)
-    w2 = kernel.reshape(K * C, O).astype(x.dtype)
+    # Tail buffer: the m rows the aligned DMA misses, then the right padding.
+    m = (T - W) % 8
+    pieces = []
+    if m > 0:
+        pieces.append(x[:, T - m : T])
+    if right > 0:
+        pieces.append(redge[:, :right])
+    tailbuf = jnp.concatenate(pieces, axis=1) if pieces else redge[:, :1]
+    w2 = kernel.astype(x.dtype)  # (K, C, O)
     b2 = bias.reshape(1, O).astype(jnp.float32)
 
     out = pl.pallas_call(
@@ -185,7 +219,7 @@ def _fused_conv1d_s1_impl(x, kernel, bias, K, dil, left, right, pad_mode, act, t
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x, ledge, redge, w2, b2)
+    )(x, ledge, tailbuf, w2, b2)
     return out[:, :T]
 
 
@@ -206,6 +240,10 @@ def fused_conv1d_s1(
     B, T, C = x.shape
     K = kernel.shape[0]
     if K < 2 or left + right != (K - 1) * dilation:
+        return None
+    if C < 8:
+        # degenerate MXU contraction + Mosaic narrow-vector layout limits;
+        # only the first encoder conv (C=1) lands here — XLA handles it well
         return None
     if pad_mode not in ("reflect", "replicate", "constant", "zero"):
         return None

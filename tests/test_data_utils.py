@@ -132,3 +132,21 @@ def test_folded_and_numel_samplers():
     for b in nb:
         worst = max(int(np.prod(shapes[u])) for u in b)
         assert worst * len(b) <= 1000 or len(b) == 1
+
+
+def test_rand_data_types(tmp_path):
+    """rand_float / rand_int_L_H debug sources (fileio/rand_gen_dataset.py)."""
+    from funcodec_tpu.data.dataset import CodecDataset
+
+    shp = tmp_path / "shape.txt"
+    shp.write_text("uttA 12,8\nuttB 5\n")
+    ds = CodecDataset([(str(shp), "feats", "rand_float"),
+                       (str(shp), "labels", "rand_int_3_10")])
+    uid, batch = ds[0]
+    assert batch["feats"].shape == (12, 8) and batch["feats"].dtype == np.float32
+    assert batch["labels"].shape == (12, 8)
+    assert batch["labels"].min() >= 3 and batch["labels"].max() < 10
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CodecDataset([(str(shp), "x", "rand_int_bad")])

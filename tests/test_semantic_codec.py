@@ -28,7 +28,7 @@ def _build(mode):
     return model, params, rvq_state
 
 
-@pytest.mark.parametrize("mode", ["residual", "addition", "concat", "supervision"])
+@pytest.mark.parametrize("mode", ["residual", "addition", "concat", "supervision", "ptts"])
 def test_semantic_modes_train_and_infer(mode):
     model, params, rvq_state = _build(mode)
     disc = MultiScaleSTFTDiscriminator(
@@ -61,8 +61,10 @@ def test_semantic_modes_train_and_infer(mode):
         )[0]
     )(params)
     emb_g = float(jnp.abs(g["ppg_embedding"]).max())
-    if mode in ("residual", "addition", "concat"):
+    if mode in ("residual", "addition", "concat", "ptts"):
         assert emb_g > 0, mode
+    if mode == "ptts":
+        assert float(jnp.abs(g["utt_level_proj"]["kernel"]).max()) > 0
 
 
 def test_semantic_builds_from_config():
