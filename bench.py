@@ -30,6 +30,13 @@ def bench_tpu(batch=256, seconds=10, sr=16000, warmup=2, iters=5, dtype="bfloat1
     import jax
     import jax.numpy as jnp
 
+    import funcodec_tpu.quant.rvq as rvq_mod
+
+    # Production serving config: fused Pallas RVQ codebook search (bf16 MXU
+    # distances, residual in VMEM — measured faster than the fp32 scan; can
+    # flip near-tie tokens, see quant/rvq.py:PALLAS_RVQ).
+    rvq_mod.PALLAS_RVQ = True
+
     from __graft_entry__ import _build_flagship
 
     model, _ = _build_flagship(kmeans_init=False)

@@ -313,10 +313,46 @@ def init_layers(key, layers: Sequence[Layer]) -> List[Any]:
     return params
 
 
+def _elu_conv_fusible(kind, spec, nxt) -> bool:
+    """act+conv peephole: standalone ELU(alpha=1) directly before a 1D
+    stride-1 conv fuses into one Pallas kernel (ops/conv.apply_sconv1d_act),
+    removing the activation's HBM round-trip."""
+    from funcodec_tpu.ops import conv as conv_ops
+
+    if not conv_ops.PALLAS_STRIDE1 or kind != "act" or nxt is None:
+        return False
+    name, kwargs = spec
+    if name.upper() != "ELU" or dict(kwargs).get("alpha", 1.0) != 1.0:
+        return False
+    nkind, nspec = nxt
+    return (
+        nkind == "conv"
+        and nspec.ndim == 1
+        and not nspec.transposed
+        and int(nspec.stride) == 1
+        and nspec.groups == 1
+        and int(nspec.kernel_size) > 1
+    )
+
+
 def apply_layers(
     layers: Sequence[Layer], params: Sequence[Any], x: jnp.ndarray, precision=None
 ) -> jnp.ndarray:
-    for (kind, spec), p in zip(layers, params):
+    i = 0
+    layers = list(layers)
+    params = list(params)
+    while i < len(layers):
+        (kind, spec), p = layers[i], params[i]
+        if kind == "act" and _elu_conv_fusible(
+            kind, spec, layers[i + 1] if i + 1 < len(layers) else None
+        ):
+            from funcodec_tpu.ops.conv import apply_sconv1d_act
+
+            x = apply_sconv1d_act(
+                layers[i + 1][1], params[i + 1], x, act="elu", precision=precision
+            )
+            i += 2
+            continue
         if kind == "conv":
             x = apply_conv(spec, p, x, precision=precision)
         elif kind == "act":
@@ -356,6 +392,7 @@ def apply_layers(
             x = jnp.expand_dims(x, axis=1)
         else:
             raise ValueError(kind)
+        i += 1
     return x
 
 

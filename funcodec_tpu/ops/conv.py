@@ -382,6 +382,31 @@ def apply_sconv1d(
     return _apply_post_norm(spec, params, y)
 
 
+def apply_sconv1d_act(spec: ConvSpec, params: Params, x: jnp.ndarray,
+                      act: str = "elu", precision=None) -> jnp.ndarray:
+    """act -> SConv1d, fused into one Pallas kernel when the layer qualifies
+    (saves the full HBM round-trip of the standalone activation). Falls back
+    to act-then-apply_sconv1d. Used by the SEANet act+conv peephole."""
+    k, s, d = int(spec.kernel_size), int(spec.stride), int(spec.dilation)
+    if PALLAS_STRIDE1 and not spec.transposed and s == 1 and spec.groups == 1 and k > 1:
+        from funcodec_tpu.ops.conv_pallas import fused_conv1d_s1
+
+        padding_total = conv_padding_total(k, s, d)
+        left, right = split_padding(padding_total, spec.causal)
+        kernel = fused_kernel(params).astype(x.dtype)
+        y = fused_conv1d_s1(
+            x, kernel,
+            params.get("bias", jnp.zeros((spec.out_channels,), x.dtype)),
+            left, right, dilation=d, pad_mode=spec.pad_mode, act=act,
+        )
+        if y is not None:
+            return _apply_post_norm(spec, params, y)
+    from funcodec_tpu.ops import activations as act_ops
+
+    return apply_sconv1d(spec, params, act_ops.get_activation_fn("ELU", alpha=1.0)(x)
+                         if act == "elu" else x, precision=precision)
+
+
 def apply_sconv_transpose1d(
     spec: ConvSpec,
     params: Params,

@@ -1,12 +1,23 @@
 """Fused stride-1 conv1d Pallas kernel with in-kernel padding edges.
 
-Motivation (measured, ops/conv.py): XLA materializes a padded copy of the
-activation per streamable conv (reflect/replicate padding cannot fold into
-the conv op), worth ~18% of EnCodec end-to-end inference time. This kernel
-streams x straight from HBM in tiles, splices the pad values in VMEM (tiny
-edge buffers computed in XLA), optionally fuses the preceding elementwise
-activation, and runs the conv as one unfold-matmul per tile on the MXU —
-one HBM read and one HBM write per layer.
+Motivation: XLA materializes a padded copy of the activation per streamable
+conv (reflect/replicate padding cannot fold into the conv op) — a fold-
+padding probe suggested ~18% of EnCodec end-to-end inference recoverable.
+This kernel streams x straight from HBM in tiles, splices the pad values in
+VMEM (tiny edge buffers computed in XLA), optionally fuses the preceding
+elementwise activation, and runs the conv as one multi-tap matmul per tile
+on the MXU — one HBM read and one HBM write per layer.
+
+STATUS (measured on v5e, EnCodec nq32ds320 B=32x10s bf16, full inference,
+best-of-7, scripts/bench_pallas_conv.py): the XLA path WINS end to end —
+XLA 141ms vs Pallas 150ms (C%128==0 layers only), 187ms (all layers via the
+channel-packed lowering + act-fusion peephole, ~1MB tiles). XLA's conv
+pipeline overlaps HBM traffic with compute (this kernel's per-tile DMA is
+serial: start+wait, no double-buffering) and fuses the surrounding
+elementwise chain anyway, while the packed lowering pays a ~f*J/K nominal
+FLOP multiplier. Kept default-OFF (ops/conv.PALLAS_STRIDE1) as a correct,
+parity-tested base for a future double-buffered / whole-resblock-fusing
+variant; numerics differ from XLA only by bf16 accumulation order.
 
 Scope: stride=1, groups=1, any dilation, output length == input length
 (padding_total = (K-1)*dilation — the streamable case; every SEANet
@@ -34,7 +45,8 @@ def _apply_act(x, act):
         return x
     xf = x.astype(jnp.float32)
     if act == "elu":
-        y = jax.nn.elu(xf)
+        # expm1 has no Mosaic lowering; exp-1 is equivalent in f32 here
+        y = jnp.where(xf > 0, xf, jnp.exp(jnp.minimum(xf, 0.0)) - 1.0)
     elif act == "relu":
         y = jax.nn.relu(xf)
     elif act == "gelu":
@@ -69,8 +81,10 @@ def _kernel(
     Wd = scratch.shape[0]  # = TILE + ceil((span - 1 + a) / 8) * 8
 
     u0 = t * TILE - left
-    ub8 = (T - Wd) // 8 * 8  # top clamp, kept 8-aligned
-    start_c = jnp.clip(u0 - a, 0, ub8)
+    # start in units of 8 rows so Mosaic can PROVE the slice start is
+    # tiling-aligned: left + a is a multiple of 8 by construction of a.
+    s8 = jnp.clip(t * (TILE // 8) - (left + a) // 8, 0, (T - Wd) // 8)
+    start_c = s8 * 8
     dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(start_c, Wd), :], scratch, sem)
     dma.start()
     dma.wait()
@@ -148,6 +162,9 @@ def _edge_buffers(x, left, right, pad_mode):
 # (ops/conv.PALLAS_STRIDE1) without threading a flag through every caller.
 INTERPRET = False
 
+# Minimum channel count for the Pallas path (see fused_conv1d_s1 gate).
+MIN_C = 8
+
 
 def pick_tile(T: int, K: int, dil: int, right: int, want: int) -> Optional[int]:
     """Choose a tile size such that
@@ -174,9 +191,14 @@ def pick_tile(T: int, K: int, dil: int, right: int, want: int) -> Optional[int]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "dil", "left", "right", "pad_mode", "act", "tile", "interpret"),
+    static_argnames=("K", "dil", "left", "right", "act", "tile", "interpret"),
 )
-def _fused_conv1d_s1_impl(x, kernel, bias, K, dil, left, right, pad_mode, act, tile, interpret):
+def _fused_conv1d_s1_impl(
+    x, kernel, bias, ledge, redge, K, dil, left, right, act, tile, interpret
+):
+    """Core pallas_call. ledge (B, >=max(left,1), C): pad values before x[0];
+    redge (B, >=max(right,1), C): pad values after x[T-1] — both precomputed
+    (for the channel-packed path they are built in original time space)."""
     B, T, C = x.shape
     O = kernel.shape[-1]
     n_t = -(-T // tile)
@@ -184,7 +206,6 @@ def _fused_conv1d_s1_impl(x, kernel, bias, K, dil, left, right, pad_mode, act, t
     a = (-left) % 8
     W = tile + -(-(span - 1 + a) // 8) * 8  # scratch rows (8-aligned DMA width)
 
-    ledge, redge = _edge_buffers(x, left, right, pad_mode)
     # (no activation on the edges here: the kernel applies `act` to the whole
     # spliced window, and reflect/replicate pads commute with pointwise acts)
     # Tail buffer: the m rows the aligned DMA misses, then the right padding.
@@ -223,6 +244,50 @@ def _fused_conv1d_s1_impl(x, kernel, bias, K, dil, left, right, pad_mode, act, t
     return out[:, :T]
 
 
+def _pack_weights(kernel, f, af, dil, J):
+    """Block-Toeplitz packed weights: Wp[j][r*C+c, ri*O+o] = w[k,c,o] with
+    j = (af + ri + k*dil) // f, r = (af + ri + k*dil) % f."""
+    K, C, O = kernel.shape
+    Wp = jnp.zeros((J, f * C, f * O), kernel.dtype)
+    for k in range(K):
+        for ri in range(f):
+            idx = af + ri + k * dil
+            j, r = idx // f, idx % f
+            Wp = Wp.at[j, r * C : (r + 1) * C, ri * O : (ri + 1) * O].set(kernel[k])
+    return Wp
+
+
+def _plan(x, kernel, left, right, dilation, pad_mode, tile):
+    """Resolve the lowering plan: ('direct', tile) for C % 128 == 0, or
+    ('packed', tile_s, f, af, J, left_p, right_p) for C dividing 128.
+    Returns None when the shape doesn't qualify."""
+    B, T, C = x.shape
+    K = kernel.shape[0]
+    span = (K - 1) * dilation + 1
+    # Aim for ~1MB bf16 scratch windows when the caller doesn't pin a tile:
+    # per-tile DMA issue latency is ~µs, so small tiles (thousands of grid
+    # steps) drown in it.
+    want = tile if tile is not None else max(512, (1 << 19) // C // 8 * 8)
+    if C % 128 == 0:
+        tile_sel = pick_tile(T, K, dilation, right, want)
+        if tile_sel is None:
+            return None
+        return ("direct", tile_sel)
+    if 128 % C == 0 and C >= MIN_C:
+        f = 128 // C
+        if T % f != 0:
+            return None
+        af = (-left) % f
+        J = (af + span - 2 + f) // f + 1  # packed tap count
+        left_p = (left + af) // f
+        right_p = (J - 1) - left_p
+        tile_s = pick_tile(T // f, J, 1, right_p, max(want // f, 8))
+        if tile_s is None:
+            return None
+        return ("packed", tile_s, f, af, J, left_p, right_p)
+    return None
+
+
 def fused_conv1d_s1(
     x: jnp.ndarray,       # (B, T, C)
     kernel: jnp.ndarray,  # (K, C, O)
@@ -232,26 +297,102 @@ def fused_conv1d_s1(
     dilation: int = 1,
     pad_mode: str = "reflect",
     act: Optional[str] = None,
-    tile: int = 1024,
+    tile: Optional[int] = None,  # None = auto (~1MB scratch)
     interpret: Optional[bool] = None,
 ) -> Optional[jnp.ndarray]:
     """Fused [act ->] pad -> conv (stride 1). Returns (B, T, O), or None when
-    the shape doesn't qualify (caller must fall back to the XLA path)."""
+    the shape doesn't qualify (caller must fall back to the XLA path).
+
+    Two lowerings, both one HBM read + one HBM write per layer:
+    - direct (C % 128 == 0): taps are (TILE, C) @ (C, O) MXU calls.
+    - channel-packed (C divides 128): x reshaped (free bitcast) to
+      (B, T/f, f*C) with f = 128/C; the conv becomes a stride-1 J-tap conv
+      with block-Toeplitz (f*C, f*O) weights — full 128-lane contractions,
+      which also satisfies Mosaic's 128-aligned HBM slice rule. Nominal
+      FLOPs grow ~f*J/K, but these narrow stages are bandwidth-bound and
+      the MXU lanes were idle at C < 128 anyway.
+    """
     B, T, C = x.shape
     K = kernel.shape[0]
+    O = kernel.shape[-1]
     if K < 2 or left + right != (K - 1) * dilation:
         return None
-    if C < 8:
-        # degenerate MXU contraction + Mosaic narrow-vector layout limits;
-        # only the first encoder conv (C=1) lands here — XLA handles it well
+    if C < MIN_C:
         return None
     if pad_mode not in ("reflect", "replicate", "constant", "zero"):
         return None
-    tile_sel = pick_tile(T, K, dilation, right, tile)
-    if tile_sel is None:
+    plan = _plan(x, kernel, left, right, dilation, pad_mode, tile)
+    if plan is None:
         return None
     if interpret is None:
         interpret = INTERPRET
-    return _fused_conv1d_s1_impl(
-        x, kernel, bias, K, dilation, left, right, pad_mode, act, tile_sel, interpret
-    )
+
+    def _forward(x_, w_, b_, act_):
+        ledge, redge = _edge_buffers(x_, left, right, pad_mode)
+        if plan[0] == "direct":
+            return _fused_conv1d_s1_impl(
+                x_, w_, b_, ledge, redge,
+                K, dilation, left, right, act_, plan[1], interpret,
+            )
+        _, tile_s, f, af, J, left_p, right_p = plan
+        Ts = T // f
+        xp = x_.reshape(B, Ts, f * C)
+        wp = _pack_weights(w_, f, af, dilation, J)
+        bp = jnp.tile(b_, f)
+        if left > 0:
+            zl = jnp.zeros((B, af, C), x_.dtype)
+            lp = jnp.concatenate([zl, ledge[:, :left]], axis=1)
+            lp = lp.reshape(B, left_p, f * C)
+        else:
+            lp = xp[:, :1]
+        if right_p > 0:
+            zr = jnp.zeros((B, right_p * f - right, C), x_.dtype)
+            rp = (
+                jnp.concatenate([redge[:, :right], zr], axis=1)
+                if right > 0
+                else zr
+            )
+            rp = rp.reshape(B, right_p, f * C)
+        else:
+            rp = xp[:, :1]
+        yp = _fused_conv1d_s1_impl(
+            xp, wp, bp, lp, rp,
+            J, 1, left_p, right_p, act_, tile_s, interpret,
+        )
+        return yp.reshape(B, Ts * f, O)[:, :T]
+
+    # Differentiable wrapper: Pallas forward, exact XLA transposes backward.
+    # With u = act(x), f = conv(pad(u), w) + b is linear in u and in w, so
+    # jax.linear_transpose builds the conv/pad cotangents without replaying
+    # the primal; the act cotangent chains through jax.vjp of the (cheap,
+    # elementwise) activation.
+    def _xla_linear(u_, w_):
+        from funcodec_tpu.ops.pad import pad1d_time
+        from jax import lax
+
+        up = pad1d_time(u_, (left, right), mode=pad_mode)
+        return lax.conv_general_dilated(
+            up, w_, window_strides=(1,), padding=[(0, 0)],
+            rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+
+    @jax.custom_vjp
+    def f(x_, w_, b_):
+        return _forward(x_, w_, b_, act)
+
+    def f_fwd(x_, w_, b_):
+        return f(x_, w_, b_), (x_, w_)
+
+    def f_bwd(res, g):
+        x_, w_ = res
+        g = g.astype(jnp.float32)
+        x32, w32 = x_.astype(jnp.float32), w_.astype(jnp.float32)
+        u, act_vjp = jax.vjp(lambda v: _apply_act(v, act), x32)
+        (du,) = jax.linear_transpose(lambda v: _xla_linear(v, w32), u)(g)
+        (dx,) = act_vjp(du)
+        (dw,) = jax.linear_transpose(lambda v: _xla_linear(u, v), w32)(g)
+        db = jnp.sum(g, axis=(0, 1))
+        return dx.astype(x_.dtype), dw.astype(w_.dtype), db.astype(g.dtype)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, kernel, bias)

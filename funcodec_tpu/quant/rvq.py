@@ -36,6 +36,11 @@ import jax.numpy as jnp
 from flax import struct
 from jax import lax
 
+# Route eval-mode codebook searches through the fused Pallas kernel
+# (quant/rvq_pallas.py). Opt-in: bf16 search can flip near-tie tokens vs the
+# bit-exact fp32 scan. bench.py enables it for the production serving path.
+PALLAS_RVQ = False
+
 
 @dataclasses.dataclass(frozen=True)
 class RVQConfig:
@@ -422,9 +427,23 @@ def rvq_inference(
     Equivalent to the reference's rq forward under model.eval()
     (CostumeQuantizer.inference :77-96 -> ddp forward with training=False).
     Returns (quantized_out (B,T,D), indices (n_q,B,T), sub_quants (n_q,B,T,D)).
+
+    With PALLAS_RVQ on, the codebook searches run in the fused Pallas kernel
+    (quant/rvq_pallas.py: bf16 MXU distances, residual held in VMEM —
+    measured ~16% faster on the op at 128k tokens/nq32). Tokens can differ
+    from the fp32 scan near codebook-distance ties; the flag is therefore
+    opt-in (production bf16 serving), default off for bit-exact parity.
     """
     n_q = n_q or cfg.num_quantizers
     B, T, D = x.shape
+    if PALLAS_RVQ:
+        from funcodec_tpu.quant.rvq_pallas import rvq_encode_pallas
+
+        indices, quantized = rvq_encode_pallas(x, state.embed, n_q)
+        # per-layer codewords as a lazy gather: DCE'd when the caller only
+        # consumes (quantized, indices)
+        subq = jax.vmap(lambda e, i: e[i])(state.embed[:n_q], indices)
+        return quantized.astype(x.dtype), indices, subq.astype(x.dtype)
     flat = x.reshape(B * T, D).astype(jnp.float32)
 
     def step(residual, embed_q):

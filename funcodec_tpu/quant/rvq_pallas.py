@@ -54,15 +54,13 @@ def _rvq_encode_kernel(x_ref, embed_ref, embed_sq_ref, idx_ref, quant_ref, *, n_
     quant_ref[:] = quant_acc
 
 
+# CPU-test switch: when rvq.PALLAS_RVQ routes through this kernel on the
+# CPU backend, tests set INTERPRET = True.
+INTERPRET = False
+
+
 @functools.partial(jax.jit, static_argnames=("n_q", "tile", "interpret"))
-def rvq_encode_pallas(
-    x: jnp.ndarray,  # (B, T, D)
-    embed: jnp.ndarray,  # (n_q_total, bins, D)
-    n_q: int,
-    tile: int = 512,
-    interpret: bool = False,
-):
-    """Fused greedy RVQ encode. Returns (indices (n_q, B, T), quantized (B, T, D))."""
+def _rvq_encode_pallas_jit(x, embed, n_q, tile, interpret):
     B, T, D = x.shape
     N = B * T
     flat = x.reshape(N, D)
@@ -98,3 +96,10 @@ def rvq_encode_pallas(
     indices = idx_out[:, :N].reshape(n_q, B, T)
     quantized = quant_out[:N].reshape(B, T, D)
     return indices, quantized
+
+
+def rvq_encode_pallas(x, embed, n_q, tile=512, interpret=None):
+    """Fused greedy RVQ encode. Returns (indices (n_q,B,T), quantized (B,T,D))."""
+    if interpret is None:
+        interpret = INTERPRET
+    return _rvq_encode_pallas_jit(x, embed, n_q, tile, interpret)

@@ -17,8 +17,10 @@ def run(batch, pallas_on):
     import jax.numpy as jnp
 
     import funcodec_tpu.ops.conv as conv_mod
+    import funcodec_tpu.ops.conv_pallas as cp
 
     conv_mod.PALLAS_STRIDE1 = pallas_on
+    cp.MIN_C = int(os.environ.get('MIN_C', '8'))
 
     from __graft_entry__ import _build_flagship
 

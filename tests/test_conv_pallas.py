@@ -1,4 +1,8 @@
-"""Parity of the fused Pallas stride-1 conv vs the XLA path (interpret mode)."""
+"""Parity of the fused Pallas stride-1 conv vs the XLA path (interpret mode).
+
+Two lowerings are covered: direct (C % 128 == 0) and channel-packed
+(C in {8,16,32,64} -> (B, T/f, 128) with block-Toeplitz weights).
+"""
 
 import numpy as np
 import pytest
@@ -17,7 +21,7 @@ def _xla_ref(spec, params, x, act=None):
     return apply_sconv1d(spec, params, x)
 
 
-def _run_case(T, K, dil, causal, pad_mode, C=16, O=24, B=2, tile=64, act=None, seed=0):
+def _run_case(T, K, dil, causal, pad_mode, C=128, O=24, B=2, tile=64, act=None, seed=0):
     key = jax.random.PRNGKey(seed)
     spec = ConvSpec(
         in_channels=C, out_channels=O, kernel_size=K, dilation=dil,
@@ -33,7 +37,7 @@ def _run_case(T, K, dil, causal, pad_mode, C=16, O=24, B=2, tile=64, act=None, s
         x, params["kernel"], params["bias"], left, right,
         dilation=dil, pad_mode=pad_mode, act=act, tile=tile, interpret=True,
     )
-    assert y_pal is not None, f"unexpected fallback for T={T} K={K} dil={dil}"
+    assert y_pal is not None, f"unexpected fallback for T={T} K={K} dil={dil} C={C}"
     y_ref = _xla_ref(spec, params, x, act=act)
     assert y_pal.shape == y_ref.shape
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=2e-5, rtol=2e-5)
@@ -61,18 +65,46 @@ def test_k7_head_conv():
     _run_case(T=333, K=7, dil=1, causal=True, pad_mode="replicate", tile=64)
 
 
+# ---- channel-packed lowering (C < 128) -------------------------------------
+
+
+@pytest.mark.parametrize("C", [16, 32, 64])
+@pytest.mark.parametrize("causal", [True, False])
+def test_packed_channels(C, causal):
+    _run_case(T=1600, K=3, dil=1, causal=causal, pad_mode="reflect", C=C, tile=512)
+
+
+@pytest.mark.parametrize("dil", [3, 9])
+def test_packed_dilated(dil):
+    _run_case(T=1600, K=3, dil=dil, causal=False, pad_mode="reflect", C=32, tile=512)
+
+
+def test_packed_ragged():
+    # T % f == 0 but T_s ragged vs the packed tile
+    _run_case(T=1504, K=3, dil=1, causal=False, pad_mode="reflect", C=32, tile=512)
+    _run_case(T=1504, K=7, dil=1, causal=True, pad_mode="replicate", C=64, tile=512)
+
+
+def test_packed_requires_divisible_T():
+    x = jnp.zeros((1, 101, 32))  # 101 % 4 != 0
+    out = fused_conv1d_s1(x, jnp.zeros((3, 32, 8)), jnp.zeros(8), 1, 1, interpret=True)
+    assert out is None
+
+
 def test_fused_act():
     _run_case(T=200, K=3, dil=1, causal=False, pad_mode="reflect", act="elu")
+    _run_case(T=1600, K=3, dil=1, causal=False, pad_mode="reflect", C=32,
+              tile=512, act="elu")
 
 
 def test_bf16_close():
     key = jax.random.PRNGKey(0)
-    C, O, K, T, B = 32, 32, 3, 256, 2
+    C, O, K, T, B = 32, 32, 3, 1600, 2
     spec = ConvSpec(in_channels=C, out_channels=O, kernel_size=K)
     params = init_conv(key, spec)
     x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C), jnp.bfloat16)
     y = fused_conv1d_s1(
-        x, params["kernel"], params["bias"], 1, 1, tile=64, interpret=True
+        x, params["kernel"], params["bias"], 1, 1, tile=512, interpret=True
     )
     xf = x.astype(jnp.float32)
     y_ref = _xla_ref(spec, params, xf)
@@ -93,12 +125,12 @@ def test_seanet_encoder_with_toggle(monkeypatch):
     )
 
     cfg = SEANetConfig(
-        input_size=1, dimension=32, n_filters=4, ratios=(2, 2),
+        input_size=1, dimension=32, n_filters=16, ratios=(2, 2),
         n_residual_layers=2, causal=False, pad_mode="reflect",
     )
     layers = build_encoder_layers(cfg)
     params = init_layers(jax.random.PRNGKey(0), layers)
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, 640, 1), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 2560, 1), jnp.float32)
 
     y_off = apply_layers(layers, params, x)
     monkeypatch.setattr(conv_mod, "PALLAS_STRIDE1", True)
@@ -112,3 +144,30 @@ def test_fallbacks():
     x = jnp.zeros((1, 16, 8))
     assert fused_conv1d_s1(x, jnp.zeros((1, 8, 8)), jnp.zeros(8), 0, 0) is None
     assert pick_tile(T=4, K=7, dil=1, right=3, want=64) is None
+
+
+@pytest.mark.parametrize("C,T,dil", [(128, 100, 3), (16, 1600, 1)])
+def test_gradients_match_xla(C, T, dil):
+    """custom_vjp: d(loss)/d(x,w,b) equals the XLA path's gradients
+    (both the direct and the channel-packed forward)."""
+    O, K, B = 24, 3, 2
+    spec = ConvSpec(in_channels=C, out_channels=O, kernel_size=K, dilation=dil)
+    params = init_conv(jax.random.PRNGKey(0), spec)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C), jnp.float32)
+    total = conv_padding_total(K, 1, dil)
+    left, right = split_padding(total, False)
+    cot = jax.random.normal(jax.random.PRNGKey(2), (B, T, O), jnp.float32)
+
+    def loss_pal(x, w, b):
+        y = fused_conv1d_s1(x, w, b, left, right, dilation=dil, tile=512, interpret=True)
+        return jnp.sum(y * cot)
+
+    def loss_xla(x, w, b):
+        return jnp.sum(apply_sconv1d(spec, {"kernel": w, "bias": b}, x) * cot)
+
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(x, params["kernel"], params["bias"])
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, params["kernel"], params["bias"])
+    for a, b_, name in zip(gp, gx, ("dx", "dw", "db")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-4, rtol=3e-4, err_msg=name
+        )

@@ -39,3 +39,29 @@ def test_pallas_rvq_partial_nq_and_padding():
     idx, quant = rvq_encode_pallas(x, state.embed, n_q=3, tile=128, interpret=True)
     assert idx.shape == (3, 1, 137)
     assert int(idx.min()) >= 0 and int(idx.max()) < 256
+
+
+def test_pallas_rvq_flag_wiring(monkeypatch):
+    """rvq.PALLAS_RVQ routes rvq_inference through the fused kernel with the
+    same outputs (fp32 inputs -> tie-free agreement at small scale)."""
+    import funcodec_tpu.quant.rvq as rvq_mod
+    import funcodec_tpu.quant.rvq_pallas as rp
+    from funcodec_tpu.quant.rvq import RVQConfig, RVQState, rvq_inference
+
+    n_q, bins, D = 4, 32, 128
+    key = jax.random.PRNGKey(0)
+    embed = jax.random.normal(key, (n_q, bins, D))
+    state = RVQState(
+        inited=jnp.ones((n_q,)), cluster_size=jnp.ones((n_q, bins)),
+        embed=embed, embed_avg=embed,
+    )
+    cfg = RVQConfig(dim=D, codebook_size=bins, num_quantizers=n_q, kmeans_init=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 40, D))
+
+    q0, i0, s0 = rvq_inference(cfg, state, x)
+    monkeypatch.setattr(rvq_mod, "PALLAS_RVQ", True)
+    monkeypatch.setattr(rp, "INTERPRET", True)
+    q1, i1, s1 = rvq_inference(cfg, state, x)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q0), atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), atol=2e-2, rtol=2e-2)
