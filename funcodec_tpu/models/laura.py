@@ -548,6 +548,13 @@ class LauraGenModel:
         max_total = inputs.shape[1] + max_length + 1
         cache = init_kv_cache(lm_cfg, 1, max_total)
 
+        prompt = (
+            np.asarray(continual, np.int32).reshape(-1, cfg.predict_nq)
+            if continual is not None and len(continual)
+            else np.zeros((0, cfg.predict_nq), np.int32)
+        )
+        P = prompt.shape[0]
+
         if cfg.lm_pe_type == "split":
             # split mode: absolute pos restarts at the codec segment; the
             # incremental step applies the token's own position encoding
@@ -560,7 +567,7 @@ class LauraGenModel:
 
             def embed_step(emb, codec_pos):
                 D = emb.shape[-1]
-                pe = jnp.asarray(tfm.sinusoidal_pe(max_length + 1, D))
+                pe = jnp.asarray(tfm.sinusoidal_pe(P + max_length + 1, D))
                 posed = emb * math.sqrt(D) + pe[codec_pos][None, None]
                 return tfm._apply_linear(params["lm_input_layer"], posed)
         else:
@@ -581,7 +588,6 @@ class LauraGenModel:
             logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
             return logits[0], cache
 
-        @jax.jit
         def step(params, cache, token_group, codec_pos):
             emb = self.calc_dense_vector(
                 params, token_group[None, None, :], jnp.asarray([1])
@@ -591,30 +597,58 @@ class LauraGenModel:
             logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
             return logits[0], cache
 
-        logits, cache = prefill(params, cache, inputs)
-        out_tokens: List[List[int]] = (
-            [list(map(int, row)) for row in continual] if continual is not None else []
-        )
         eos = cfg.codebook_size + cfg.sos_eos
-        for i in range(max_length):
-            scores = logits.reshape(cfg.predict_nq, -1)
-            key, *g_keys = jax.random.split(key, cfg.predict_nq + 1)
-            group = [
-                int(self._sample_group(g_keys[k], scores[k], sampling))
-                for k in range(cfg.predict_nq)
-            ]
-            if any(g == eos for g in group):
-                break
-            out_tokens.append(group)
-            # the fed token is codec position len(out_tokens)-1 (split-pe
-            # positions restart at the codec segment)
-            logits, cache = step(
-                params, cache, jnp.asarray(group, jnp.int32),
-                jnp.int32(len(out_tokens) - 1),
+
+        # The whole AR loop runs in ONE on-device while_loop (one dispatch),
+        # not one jitted call per token — on the axon tunnel each dispatch
+        # costs ~26ms, which would dominate synthesis time. Semantics match
+        # the reference's host loop (laura_model.py:521-545): sample a group,
+        # stop BEFORE emitting if any member is <eos>, else feed it back at
+        # codec position P+i (split-pe positions restart at the codec
+        # segment).
+        @jax.jit
+        def decode_loop(params, cache, logits0, key0):
+            def sample_groups(k, logits):
+                scores = logits.reshape(cfg.predict_nq, -1)
+                ks = jax.random.split(k, cfg.predict_nq)
+                return jax.vmap(
+                    lambda kk, s: self._sample_group(kk, s, sampling)
+                )(ks, scores).astype(jnp.int32)
+
+            def cond(st):
+                i, done = st[0], st[1]
+                return jnp.logical_and(i < max_length, jnp.logical_not(done))
+
+            def body(st):
+                i, done, toks, logits, cache, k = st
+                k, sub = jax.random.split(k)
+                group = sample_groups(sub, logits)
+                is_eos = jnp.any(group == eos)
+                toks = lax.cond(
+                    is_eos, lambda t: t, lambda t: t.at[i].set(group), toks
+                )
+                logits2, cache2 = lax.cond(
+                    is_eos,
+                    lambda args: (logits, args[1]),
+                    lambda args: step(params, args[1], args[0], jnp.int32(P) + i),
+                    (group, cache),
+                )
+                return (i + jnp.where(is_eos, 0, 1), is_eos, toks, logits2, cache2, k)
+
+            toks0 = jnp.zeros((max_length, cfg.predict_nq), jnp.int32)
+            i, _, toks, _, _, _ = lax.while_loop(
+                cond, body,
+                (jnp.int32(0), jnp.bool_(False), toks0, logits0, cache, key0),
             )
-        if not out_tokens:
+            return toks, i
+
+        logits, cache = prefill(params, cache, inputs)
+        toks, n = decode_loop(params, cache, logits, key)
+        n = int(n)
+        out = np.concatenate([prompt, np.asarray(toks)[:n]], axis=0)
+        if out.shape[0] == 0:
             return np.zeros((1, 0, cfg.predict_nq), np.int32)
-        return np.asarray(out_tokens, np.int32)[None]
+        return out[None]
 
     def syn_audio(
         self,
