@@ -74,3 +74,26 @@ class PrefetchLoader:
                 yield item
         finally:
             stop.set()
+
+
+class MultipleSplitLoader:
+    """Lazy split cycling (iterators/multiple_iter_factory.py:12-37): a list
+    of zero-arg factories, each building a loader for one data split; splits
+    are built one at a time (so only one split's index is resident) and,
+    optionally, visited in an epoch-seeded random order."""
+
+    def __init__(self, build_funcs, seed: int = 0, shuffle: bool = False):
+        self.build_funcs = list(build_funcs)
+        self.seed = seed
+        self.shuffle = shuffle
+
+    def build_iter(self, epoch: int, shuffle=None):
+        if shuffle is None:
+            shuffle = self.shuffle
+        funcs = list(self.build_funcs)
+        if shuffle:
+            np.random.RandomState(epoch + self.seed).shuffle(funcs)
+        for fn in funcs:
+            loader = fn()
+            it = loader.build_iter(epoch, shuffle) if hasattr(loader, "build_iter") else iter(loader)
+            yield from it

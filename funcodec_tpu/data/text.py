@@ -15,6 +15,67 @@ from typing import Dict, Iterable, List, Optional, Union
 import numpy as np
 
 
+class TextCleaner:
+    """Text cleaner registry (funcodec/text/cleaner.py:13-44).
+
+    The reference's cleaner types all shell out to external packages
+    (tacotron_cleaner, jaconv, vietnamese_cleaner, …) which are not in this
+    image; an empty cleaner list (the shipped-config default) is the
+    identity, and requesting an unavailable type raises with a clear
+    message. `whitespace` (collapse runs of whitespace) is provided natively.
+    """
+
+    _EXTERNAL = ("tacotron", "jaconv", "vietnamese", "korean_cleaner")
+
+    def __init__(self, cleaner_types=None):
+        if cleaner_types is None:
+            self.cleaner_types = []
+        elif isinstance(cleaner_types, str):
+            self.cleaner_types = [cleaner_types]
+        else:
+            self.cleaner_types = list(cleaner_types)
+        for t in self.cleaner_types:
+            if t in self._EXTERNAL:
+                raise RuntimeError(
+                    f"text cleaner '{t}' needs an external package not "
+                    f"available in this environment"
+                )
+            if t != "whitespace":
+                raise RuntimeError(f"unknown text cleaner type: {t}")
+
+    def __call__(self, text: str) -> str:
+        for t in self.cleaner_types:
+            if t == "whitespace":
+                text = " ".join(text.split())
+        return text
+
+
+def load_num_sequence_text(
+    path: Union[Path, str], loader_type: str = "csv_int"
+) -> Dict[str, List[Union[float, int]]]:
+    """`utt 1,2,3` shape/number files -> dict (fileio/read_text.py:40-90)."""
+    if loader_type == "text_int":
+        delimiter, dtype = " ", int
+    elif loader_type == "text_float":
+        delimiter, dtype = " ", float
+    elif loader_type == "csv_int":
+        delimiter, dtype = ",", int
+    elif loader_type == "csv_float":
+        delimiter, dtype = ",", float
+    else:
+        raise ValueError(f"Not supported loader_type={loader_type}")
+    out: Dict[str, List[Union[float, int]]] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split(maxsplit=1)
+            if not parts:
+                continue
+            key = parts[0]
+            value = parts[1] if len(parts) == 2 else ""
+            out[key] = [dtype(v) for v in value.split(delimiter) if v != ""]
+    return out
+
+
 class CharTokenizer:
     def __init__(self, space_symbol: str = "<space>", non_linguistic_symbols=()):
         self.space_symbol = space_symbol

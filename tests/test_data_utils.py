@@ -150,3 +150,44 @@ def test_rand_data_types(tmp_path):
 
     with _pytest.raises(ValueError):
         CodecDataset([(str(shp), "x", "rand_int_bad")])
+
+
+def test_text_cleaner_and_num_sequence(tmp_path):
+    from funcodec_tpu.data.text import TextCleaner, load_num_sequence_text
+
+    c = TextCleaner()
+    assert c("Hello  World") == "Hello  World"
+    assert TextCleaner("whitespace")("a   b\tc") == "a b c"
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        TextCleaner("tacotron")
+
+    p = tmp_path / "shape.txt"
+    p.write_text("uttA 1,2,3\nuttB 7\n")
+    d = load_num_sequence_text(p, "csv_int")
+    assert d == {"uttA": [1, 2, 3], "uttB": [7]}
+    p2 = tmp_path / "f.txt"
+    p2.write_text("u 1.5 2.5\n")
+    assert load_num_sequence_text(p2, "text_float") == {"u": [1.5, 2.5]}
+
+
+def test_multiple_split_loader():
+    from funcodec_tpu.data.loader import MultipleSplitLoader
+
+    class FakeLoader:
+        def __init__(self, items):
+            self.items = items
+
+        def build_iter(self, epoch, shuffle=None):
+            return iter(self.items)
+
+    m = MultipleSplitLoader(
+        [lambda: FakeLoader([1, 2]), lambda: FakeLoader([3])], seed=0, shuffle=False
+    )
+    assert list(m.build_iter(1)) == [1, 2, 3]
+    m2 = MultipleSplitLoader(
+        [lambda: FakeLoader([1, 2]), lambda: FakeLoader([3])], seed=0, shuffle=True
+    )
+    got = list(m2.build_iter(5))
+    assert sorted(got) == [1, 2, 3]
