@@ -224,3 +224,51 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     ):
         sd = sd["model"]
     return {k: _np(v) for k, v in sd.items()}
+
+
+def import_hifigan_generator(state_dict, model) -> dict:
+    """Import a reference HiFiGANGenerator state dict (hifigan.py:108-247)
+    into models/hifigan_gen.HiFiGANGenerator params (weights fused)."""
+    import jax.numpy as jnp
+
+    cfg = model.cfg
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def conv(prefix, transposed=False):
+        if f"{prefix}.weight_v" in sd:
+            w = fuse_torch_weight_norm(sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"])
+        else:
+            w = sd[f"{prefix}.weight"]
+        if transposed:
+            # torch ConvTranspose1d weight (Cin, Cout, K) -> (K, Cin, Cout)
+            w = np.transpose(w, (2, 0, 1))
+        else:
+            w = np.transpose(w, (2, 1, 0))
+        p = {"kernel": jnp.asarray(w)}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+        return p
+
+    nb = len(cfg.resblock_kernel_sizes)
+    params = {"input_conv": conv("input_conv")}
+    params["upsamples"] = [
+        conv(f"upsamples.{i}.1", transposed=True)
+        for i in range(len(cfg.upsample_scales))
+    ]
+    blocks = []
+    for k in range(len(cfg.upsample_scales) * nb):
+        dils = cfg.resblock_dilations[k % nb]
+        blk = {
+            "convs1": [conv(f"blocks.{k}.convs1.{j}.1") for j in range(len(dils))],
+            "convs2": [],
+        }
+        if cfg.use_additional_convs:
+            blk["convs2"] = [
+                conv(f"blocks.{k}.convs2.{j}.1") for j in range(len(dils))
+            ]
+        blocks.append(blk)
+    params["blocks"] = blocks
+    params["output_conv"] = conv("output_conv.1")
+    if cfg.global_channels > 0:
+        params["global_conv"] = conv("global_conv")
+    return params
