@@ -403,8 +403,12 @@ def apply_sconv1d_act(spec: ConvSpec, params: Params, x: jnp.ndarray,
             return _apply_post_norm(spec, params, y)
     from funcodec_tpu.ops import activations as act_ops
 
-    return apply_sconv1d(spec, params, act_ops.get_activation_fn("ELU", alpha=1.0)(x)
-                         if act == "elu" else x, precision=precision)
+    if act != "elu":
+        raise ValueError(f"apply_sconv1d_act fallback only supports elu, got {act}")
+    return apply_sconv1d(
+        spec, params, act_ops.get_activation_fn("ELU", alpha=1.0)(x),
+        precision=precision,
+    )
 
 
 def apply_sconv_transpose1d(
