@@ -31,7 +31,7 @@ from funcodec_tpu.train.checkpoint import (
 )
 from funcodec_tpu.train.reporter import Reporter
 from funcodec_tpu.train.schedulers import build_scheduler
-from funcodec_tpu.train.step import make_optimizer
+from funcodec_tpu.train.step import apply_updates_if_finite, make_optimizer
 
 
 @struct.dataclass
@@ -125,15 +125,19 @@ class LauraTrainer:
                 (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params
                 )
-                updates, opt_state = optimizer.update(
-                    grads, state.opt_state, state.params
+                # skip the optimizer step on inf/NaN grads, matching the
+                # reference gate (funcodec/train/trainer.py:703-719)
+                params, opt_state, grad_norm, is_finite = apply_updates_if_finite(
+                    optimizer, grads, state.opt_state, state.params
                 )
-                params = optax.apply_updates(state.params, updates)
                 # keep the frozen codebooks frozen (grafted from the codec ckpt)
                 params = {
                     **params,
                     "quantizer_codebook": state.params["quantizer_codebook"],
                 }
+                stats = dict(stats)
+                stats["grad_norm"] = grad_norm
+                stats["nonfinite_skip"] = 1.0 - is_finite.astype(jnp.float32)
                 return (
                     TrainState(step=state.step + 1, params=params, opt_state=opt_state),
                     stats,

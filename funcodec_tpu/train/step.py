@@ -83,6 +83,35 @@ def make_optimizer(
     return opt
 
 
+def apply_updates_if_finite(optimizer, grads, opt_state, params):
+    """Optimizer step gated on a finite gradient norm.
+
+    Matches the reference's finite-grad gate (funcodec/train/trainer.py:703-719
+    and gan_trainer.py:274-295): when the global grad norm is inf/NaN the step
+    is skipped entirely — params AND optimizer state are left untouched so one
+    bad batch cannot poison Adam moments 600k steps into a run.
+
+    Returns (new_params, new_opt_state, grad_norm, is_finite). is_finite is a
+    traced bool scalar usable for stats / gating further state updates.
+    """
+    grad_norm = optax.global_norm(grads)
+    is_finite = jnp.isfinite(grad_norm)
+    updates, new_opt = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    # scalar-pred where: the untaken (NaN) branch's values never propagate
+    pick = lambda new, old: jax.tree_util.tree_map(
+        lambda n, o: jnp.where(is_finite, n, o), new, old
+    )
+    return pick(new_params, params), pick(new_opt, opt_state), grad_norm, is_finite
+
+
+def tree_where(pred, on_true, on_false):
+    """Per-leaf jnp.where with a scalar predicate over two same-structure trees."""
+    return jax.tree_util.tree_map(
+        lambda t, f: jnp.where(pred, t, f), on_true, on_false
+    )
+
+
 def make_gan_train_step(
     model,
     discriminator,
@@ -104,15 +133,22 @@ def make_gan_train_step(
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.disc_params
         )
-        updates, new_opt = optimizer_d.update(grads, state.opt_state_d, state.disc_params)
-        new_disc_params = optax.apply_updates(state.disc_params, updates)
+        new_disc_params, new_opt, grad_norm, is_finite = apply_updates_if_finite(
+            optimizer_d, grads, state.opt_state_d, state.disc_params
+        )
+        # also hold back the RVQ EMA buffers on a bad batch (stricter than the
+        # reference, which would let NaN activations into embed_avg)
+        new_rvq = tree_where(is_finite, out["rvq_state"], state.rvq_state)
         state = state.replace(
             disc_params=new_disc_params,
             opt_state_d=new_opt,
-            rvq_state=out["rvq_state"],
+            rvq_state=new_rvq,
             gen_loss_carry=jnp.float32(0.0),  # reset after disc turn (codec_basic.py:650)
         )
-        return state, out["stats"]
+        stats = dict(out["stats"])
+        stats["discriminator_grad_norm"] = grad_norm
+        stats["discriminator_nonfinite_skip"] = 1.0 - is_finite.astype(jnp.float32)
+        return state, stats
 
     def gen_turn(state: GANTrainState, speech, key):
         def loss_fn(params):
@@ -122,15 +158,23 @@ def make_gan_train_step(
             )
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = optimizer_g.update(grads, state.opt_state_g, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt, grad_norm, is_finite = apply_updates_if_finite(
+            optimizer_g, grads, state.opt_state_g, state.params
+        )
+        new_rvq = tree_where(is_finite, out["rvq_state"], state.rvq_state)
+        new_carry = jnp.where(
+            is_finite, state.gen_loss_carry + out["gen_loss"], state.gen_loss_carry
+        )
         state = state.replace(
             params=new_params,
             opt_state_g=new_opt,
-            rvq_state=out["rvq_state"],
-            gen_loss_carry=state.gen_loss_carry + out["gen_loss"],
+            rvq_state=new_rvq,
+            gen_loss_carry=new_carry,
         )
-        return state, out["stats"]
+        stats = dict(out["stats"])
+        stats["generator_grad_norm"] = grad_norm
+        stats["generator_nonfinite_skip"] = 1.0 - is_finite.astype(jnp.float32)
+        return state, stats
 
     def train_step(state: GANTrainState, batch: Dict[str, jnp.ndarray], rng):
         speech = batch["speech"]
@@ -169,7 +213,12 @@ def make_gan_train_step(
 
 def _zero_like_disc_stats():
     z = jnp.float32(0.0)
-    return dict(discriminator_total_loss=z, discriminator_loss=z)
+    return dict(
+        discriminator_total_loss=z,
+        discriminator_loss=z,
+        discriminator_grad_norm=z,
+        discriminator_nonfinite_skip=z,
+    )
 
 
 def _zero_like_gen_stats():
@@ -182,4 +231,6 @@ def _zero_like_gen_stats():
         generator_feat_match_loss=z,
         generator_commit_loss=z,
         generator_enc_quant_loss=z,
+        generator_grad_norm=z,
+        generator_nonfinite_skip=z,
     )
