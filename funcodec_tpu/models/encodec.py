@@ -442,6 +442,9 @@ class Encodec:
         Differentiate w.r.t. `disc_params`; the generator forward still runs
         in train mode so the RVQ EMA state advances, as in the reference.
         """
+        pit = bool(getattr(self.cfg, "phase_invariant_training", False))
+        if pit:
+            key, aug_key = jax.random.split(key)
         gen_params_sg = jax.tree_util.tree_map(lax.stop_gradient, params)
         recon, aux = self._reconstruct(
             gen_params_sg, rvq_state, speech, key, precision=precision, training=training
@@ -458,12 +461,43 @@ class Encodec:
                 + jnp.mean(jax.nn.relu(1.0 + fake_logits))
             )
         disc_loss = jnp.mean(jnp.stack(disc_losses))
+
+        # phase-invariant training (codec_freq.py:611-637): the discriminator
+        # is penalized (L1 on logits + feature maps) for telling a
+        # phase-rotated copy of the real signal apart from the real signal
+        pit_disc_loss = jnp.float32(0.0)
+        if pit:
+            from funcodec_tpu.ops.stft import phase_aug
+
+            # PhaseAug(nfft=512, hop=160) as constructed at codec_freq.py:249
+            real_aug = lax.stop_gradient(phase_aug(orig, aug_key))
+            aug_outs = discriminator(disc_params, real_aug, precision=precision)
+            fm_start = getattr(self.cfg, "feat_match_layer_start", -1)
+            pit_losses = []
+            for (r_logits, r_fmap), (a_logits, a_fmap) in zip(real_outs, aug_outs):
+                one = jnp.mean(jnp.abs(r_logits - a_logits))
+                fls = [
+                    jnp.mean(jnp.abs(r.astype(jnp.float32) - a.astype(jnp.float32)))
+                    for i, (r, a) in enumerate(zip(r_fmap, a_fmap))
+                    if i >= fm_start
+                ]
+                one = one + jnp.mean(jnp.stack(fls)) * self.cfg.pit_feat_loss_weight
+                pit_losses.append(one)
+            pit_disc_loss = jnp.mean(jnp.stack(pit_losses))
+
         # adaptive gating keeps D from overpowering G (codec_basic.py:646);
         # training-mode only, like the reference's `if self.training:`
         if training:
-            loss = disc_loss * (disc_loss > gen_loss_carry).astype(disc_loss.dtype)
+            mask = (disc_loss > gen_loss_carry).astype(disc_loss.dtype)
+            gated_disc_loss = disc_loss * mask
+            pit_disc_loss = pit_disc_loss * mask
         else:
-            loss = disc_loss
+            gated_disc_loss = disc_loss
+        loss = gated_disc_loss
+        if pit:
+            loss = loss + pit_disc_loss * self.cfg.pit_disc_loss_weight
         stats = dict(discriminator_total_loss=loss, discriminator_loss=disc_loss)
+        if pit:
+            stats["pit_disc_loss"] = pit_disc_loss
         out = dict(stats=stats, rvq_state=aux["rvq_state"], real=orig, fake=fake)
         return loss, out

@@ -39,10 +39,8 @@ class FreqCodec(Encodec):
     def __init__(self, cfg: FreqCodecConfig, encoder, quantizer, decoder):
         super().__init__(cfg, encoder, quantizer, decoder)
         self.cfg: FreqCodecConfig = cfg
-        if cfg.phase_invariant_training:
-            raise NotImplementedError(
-                "phase-invariant training needs the external phaseaug package"
-            )
+        # phase_invariant_training is handled natively by ops/stft.py:phase_aug
+        # inside Encodec.forward_discriminator (codec_freq.py:611-637)
 
     # -- domain transforms (codec_freq.py:345-449) ---------------------------
 

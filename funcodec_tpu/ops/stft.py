@@ -185,3 +185,57 @@ def audio_to_mel(
         log_power = jnp.log10(jnp.maximum(power, 1e-5))
         return log_mel, log_power
     return log_mel
+
+
+def phase_aug(
+    x: jnp.ndarray,  # (B, T)
+    key=None,
+    n_fft: int = 512,
+    hop_length: int = 160,
+    var: float = 6.0,
+    delta_max: float = 2.0,
+    cutoff: float = 0.05,
+    kernel_size: int = 128,
+    phi: Optional[jnp.ndarray] = None,  # (B, n_fft//2+1) explicit rotation
+) -> jnp.ndarray:
+    """PhaseAug: magnitude-preserving random phase rotation (ICASSP'23,
+    arXiv:2211.04610). Native stand-in for the external `phaseaug` package the
+    reference imports for FreqCodec phase-invariant training
+    (codec_freq.py:243-249 constructs PhaseAug(nfft=512, hop=160);
+    :611-625 feeds phaseaug(real).detach() to the discriminator).
+
+    Each batch element gets a per-frequency-bin rotation
+        phi(k) = mu(k) + delta * pi * k / K
+    where mu is Gaussian noise (variance `var`) low-pass filtered along the
+    frequency axis (windowed-sinc, `cutoff`/`kernel_size` as in the official
+    implementation's defaults) so neighbouring bins rotate coherently, and
+    the linear term delta ~ U(-delta_max, delta_max) is a fractional time
+    shift. |STFT| is exactly preserved on the analysis grid; the waveform is
+    resynthesized with the standard ISTFT overlap-add.
+    """
+    B, T = x.shape
+    K = n_fft // 2 + 1
+    if phi is None:
+        k_mu, k_delta = jax.random.split(key)
+        mu = jnp.sqrt(var) * jax.random.normal(k_mu, (B, K), jnp.float32)
+        # low-pass along frequency: Hann-windowed sinc kernel, 'same' conv
+        n = jnp.arange(kernel_size, dtype=jnp.float32) - (kernel_size - 1) / 2.0
+        kern = 2 * cutoff * jnp.sinc(2 * cutoff * n)
+        kern = kern * hann_window(kernel_size)
+        kern = kern / jnp.sum(kern)
+        pad = (kernel_size - 1) // 2
+        mu_p = jnp.pad(mu, [(0, 0), (pad, kernel_size - 1 - pad)], mode="edge")
+        mu = jax.vmap(lambda row: jnp.convolve(row, kern, mode="valid"))(mu_p)
+
+        delta = jax.random.uniform(
+            k_delta, (B, 1), jnp.float32, minval=-delta_max, maxval=delta_max
+        )
+        phi = mu + delta * jnp.pi * (
+            jnp.arange(K, dtype=jnp.float32)[None, :] / (K - 1)
+        )
+    # DC and Nyquist bins must stay real for a real-valued resynthesis
+    phi = phi.at[:, 0].set(0.0).at[:, -1].set(0.0)
+
+    spec = stft(x, n_fft, hop_length)  # (B, K, frames)
+    rot = jnp.exp(1j * phi.astype(jnp.complex64))[:, :, None]
+    return istft(spec * rot, n_fft, hop_length, length=T).astype(x.dtype)

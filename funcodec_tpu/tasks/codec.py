@@ -71,9 +71,16 @@ def build_quantizer(conf: Dict[str, Any], input_size: int, name: str = "costume_
     return Quantizer(QuantizerConfig(**kw))
 
 
-def build_discriminator(conf: Optional[Dict[str, Any]], input_size: int = 1):
+def build_discriminator(conf: Optional[Dict[str, Any]]):
+    """Discriminators are built from discriminator_conf alone and always see
+    the 1-channel waveform (gan_speech_codec.py:331-332 passes no input_size;
+    multiple_discriminator.py:13 defaults to 1) — the model's input_size is
+    the ENCODER's channel count (e.g. 3 for 2D freq domains), not the
+    discriminator's."""
     conf = conf or {"disc_conf_list": [{"name": "encodec_multi_scale_stft_discriminator", "filters": 32}]}
-    return MultipleDiscriminator(input_size=input_size, disc_conf_list=conf["disc_conf_list"])
+    return MultipleDiscriminator(
+        input_size=conf.get("input_size", 1), disc_conf_list=conf["disc_conf_list"]
+    )
 
 
 def build_codec_model(config: Dict[str, Any]):
@@ -130,7 +137,7 @@ def build_codec_model(config: Dict[str, Any]):
         config.get("quantizer_conf", {}), input_size=odim,
         name=config.get("quantizer", "costume_quantizer"),
     )
-    discriminator = build_discriminator(config.get("discriminator_conf"), input_size)
+    discriminator = build_discriminator(config.get("discriminator_conf"))
 
     if model_name == "encodec":
         ec_kw = _filter_fields(EncodecConfig, model_conf, drop=("context_loss_conf",))

@@ -181,6 +181,7 @@ def make_gan_train_step(
         d_key, g_key = jax.random.split(jax.random.fold_in(rng, state.step))
         stats: Dict[str, jnp.ndarray] = {}
 
+        pit = bool(getattr(model.cfg, "phase_invariant_training", False))
         run_disc = (state.step % disc_train_interval) == 0
         if disc_train_interval == 1:
             state, d_stats = disc_turn(state, speech, d_key)
@@ -188,7 +189,7 @@ def make_gan_train_step(
             state, d_stats = lax.cond(
                 run_disc,
                 lambda s: disc_turn(s, speech, d_key),
-                lambda s: (s, _zero_like_disc_stats()),
+                lambda s: (s, _zero_like_disc_stats(pit)),
                 state,
             )
         stats.update(d_stats)
@@ -211,14 +212,17 @@ def make_gan_train_step(
     return train_step
 
 
-def _zero_like_disc_stats():
+def _zero_like_disc_stats(pit: bool = False):
     z = jnp.float32(0.0)
-    return dict(
+    stats = dict(
         discriminator_total_loss=z,
         discriminator_loss=z,
         discriminator_grad_norm=z,
         discriminator_nonfinite_skip=z,
     )
+    if pit:
+        stats["pit_disc_loss"] = z
+    return stats
 
 
 def _zero_like_gen_stats():
