@@ -168,7 +168,9 @@ def build_encoder2d_layers(cfg: SEANetConfig2d) -> List[Layer]:
     if cfg.seq_model == "lstm":
         layers.append(("lstm", (mult * cfg.n_filters, cfg.seq_layer_num, cfg.res_seq)))
     elif cfg.seq_model == "transformer":
-        raise NotImplementedError
+        # same bottleneck transformer as 1D, applied after the freq squeeze
+        # (seanet_encoder.py:330-337: TransformerEncoder over (B, T, C))
+        layers.append(("tfm", (mult * cfg.n_filters, cfg.seq_layer_num, cfg.causal, cfg.res_seq)))
 
     layers.append(_act2d(cfg, mult * cfg.n_filters))
     layers.append(
@@ -199,7 +201,8 @@ def build_decoder2d_layers(cfg: SEANetConfig2d) -> List[Layer]:
     if cfg.seq_model == "lstm":
         layers.append(("lstm", (mult * cfg.n_filters, cfg.seq_layer_num, cfg.res_seq)))
     elif cfg.seq_model == "transformer":
-        raise NotImplementedError
+        # seanet_decoder.py:300-307: transformer before the freq unsqueeze
+        layers.append(("tfm", (mult * cfg.n_filters, cfg.seq_layer_num, cfg.causal, cfg.res_seq)))
 
     layers.append(("unsqueeze", None))  # (B, T, C) -> (B, 1, T, C)
 

@@ -161,3 +161,57 @@ def test_freqcodec_train_forward(freq_model):
     )(params)
     leaves = [float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g["encoder"])]
     assert max(leaves) > 0
+
+
+def test_seanet_encoder2d_transformer_seq_model(torch):
+    """2D stack with seq_model='transformer' (seanet_encoder.py:330-337):
+    the bottleneck transformer runs after the freq squeeze, like 1D."""
+    from funcodec.models.encoder.seanet_encoder import SEANetEncoder2d as RefEnc
+
+    ref = RefEnc(
+        input_size=3, dimension=32, n_filters=8,
+        ratios=[(4, 1), (4, 2)], norm="time_group_norm",
+        dilation_base=1, seq_model="transformer", seq_layer_num=2,
+    ).eval()
+    cfg = SEANetConfig2d(
+        input_size=3, dimension=32, n_filters=8,
+        ratios=((4, 1), (4, 2)), norm="time_group_norm",
+        dilation_base=1, seq_model="transformer", seq_layer_num=2,
+    )
+    enc = SEANetEncoder2d(cfg)
+    sd = {f"encoder.{k}": v for k, v in ref.state_dict().items()}
+    params = import_seanet_layers(sd, "encoder", enc.layers)
+
+    x = torch.randn(2, 3, 16, 20)
+    with torch.no_grad():
+        y_ref = ref(x).numpy()
+    y = np.asarray(enc(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, atol=5e-4, rtol=1e-3)
+
+
+def test_seanet_decoder2d_transformer_seq_model(torch):
+    """2D decoder with seq_model='transformer' (seanet_decoder.py:300-307)."""
+    from funcodec.models.decoder.seanet_decoder import SEANetDecoder2d as RefDec
+
+    ref = RefDec(
+        input_size=32, channels=3, n_filters=8,
+        ratios=[(4, 1), (4, 2)], norm="time_group_norm", dilation_base=1,
+        last_out_padding=[(0, 1), (0, 0)],
+        seq_model="transformer", seq_layer_num=2,
+    ).eval()
+    cfg = SEANetConfig2d(
+        input_size=3, dimension=32, n_filters=8,
+        ratios=((4, 1), (4, 2)), norm="time_group_norm", dilation_base=1,
+        last_out_padding=((0, 1), (0, 0)),
+        seq_model="transformer", seq_layer_num=2,
+    )
+    dec = SEANetDecoder2d(cfg)
+    sd = {f"decoder.{k}": v for k, v in ref.state_dict().items()}
+    params = import_seanet_layers(sd, "decoder", dec.layers)
+
+    z = torch.randn(2, 10, 32)
+    with torch.no_grad():
+        y_ref = ref(z).numpy()  # (B, C, F, T)
+    y = np.asarray(dec(params, jnp.asarray(z.numpy())))  # (B, F, T, C)
+    np.testing.assert_allclose(y.transpose(0, 3, 1, 2), y_ref, atol=5e-4, rtol=1e-3)
