@@ -65,6 +65,9 @@ def main(argv=None):
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--output_dir", type=str, required=True)
     parser.add_argument("--train_wav_scp", type=str, required=True)
+    parser.add_argument("--train_shape_file", type=str, default=None,
+                        help="precomputed 'uttid length' file for sorted/length "
+                             "batching (abs_task.py:710, speech_shape)")
     parser.add_argument("--valid_wav_scp", type=str, required=True)
     parser.add_argument("--resume", type=lambda s: s.lower() == "true", default=True)
     parser.add_argument("--seed", type=int, default=None)
@@ -126,6 +129,7 @@ def main(argv=None):
         grad_noise=config.get("grad_noise", False),
         batch_type=config.get("batch_type", "unsorted"),
         batch_bins=config.get("batch_bins", 4_000_000),
+        train_shape_file=args.train_shape_file or config.get("train_shape_file"),
     )
 
     out = Path(args.output_dir)

@@ -84,6 +84,10 @@ class TrainerOptions:
     grad_noise: bool = False
     batch_type: str = "unsorted"  # unsorted | sorted | length
     batch_bins: int = 4_000_000  # for batch_type=length (samples per batch)
+    # precomputed `uttid length` file (speech_shape, utils/shape_utils.py:
+    # calc_shape / reference abs_task.py:1177-1184) so sorted/length batching
+    # does not decode the whole corpus before step 1
+    train_shape_file: Optional[str] = None
 
 
 class GANCodecTrainer:
@@ -341,9 +345,21 @@ class GANCodecTrainer:
             if o.batch_type == "unsorted":
                 return unsorted_batches(ids, o.batch_size, o.drop_last)
             # sorted/length need utterance lengths (speech_shape role,
-            # samplers/build_batch_sampler.py:78-168)
+            # samplers/build_batch_sampler.py:78-168). Prefer the precomputed
+            # shape file (reference loads it at abs_task.py:1309); decoding
+            # audio only for ids the file is missing.
             lengths = {}
+            if o.train_shape_file:
+                with open(o.train_shape_file) as f:
+                    for line in f:
+                        parts = line.split()
+                        if len(parts) >= 2:
+                            # "uttid T" or "uttid T,D" (csv shape)
+                            lengths[parts[0]] = int(parts[1].split(",")[0])
+                lengths = {u: lengths[u] for u in ids if u in lengths}
             for u in ids:
+                if u in lengths:
+                    continue
                 _, data = dataset[u]
                 lengths[u] = int(np.asarray(data["speech"]).shape[0])
             if o.batch_type == "sorted":

@@ -149,3 +149,60 @@ def test_trained_checkpoint_loads_for_inference(corpus):
     res = model.inference(params, rvq_state, speech)
     assert res["recon_speech"].shape == (1, 2048)
     assert float(rvq_state.inited.sum()) > 0  # codebooks were trained
+
+
+def test_shape_file_avoids_corpus_decode(corpus, tmp_path):
+    """With a speech_shape file (utils/shape_utils.py:calc_shape; reference
+    abs_task.py:1177-1184), sorted/length batch building must not read any
+    audio — the lengths come from the file."""
+    import jax
+
+    from funcodec_tpu.data.dataset import CodecDataset
+    from funcodec_tpu.tasks.codec import build_codec_model, load_config
+    from funcodec_tpu.train.gan_trainer import GANCodecTrainer, TrainerOptions
+    from funcodec_tpu.utils.shape_utils import calc_shape
+
+    # produce the shape file the way the recipe would
+    (corpus / "data" / "train").mkdir(parents=True, exist_ok=True)
+    import shutil
+
+    shutil.copy(corpus / "wav.scp", corpus / "data" / "train" / "wav.scp")
+    kept, dropped = calc_shape(str(corpus / "data"), "train", str(corpus / "shapes"))
+    assert kept == 6 and dropped == 0
+    shape_file = corpus / "shapes" / "train" / "speech_shape"
+
+    config = load_config(str(corpus / "config.yaml"))
+    model, disc = build_codec_model(config)
+
+    class CountingDataset(CodecDataset):
+        reads = 0
+
+        def __getitem__(self, uttid):
+            type(self).reads += 1
+            return super().__getitem__(uttid)
+
+    ds = CountingDataset([(str(corpus / "wav.scp"), "speech", "sound")])
+    options = TrainerOptions(
+        output_dir=str(tmp_path / "exp"),
+        max_epoch=0,  # build everything, no steps
+        batch_size=2,
+        batch_type="length",
+        batch_bins=16384,
+        train_shape_file=str(shape_file),
+        num_workers=0,
+        resume=False,
+    )
+    trainer = GANCodecTrainer(model, disc, options)
+    params, rvq_state = model.init(jax.random.PRNGKey(0))
+    disc_params = disc.init(jax.random.PRNGKey(1))
+    from funcodec_tpu.train.step import create_gan_train_state
+
+    state = create_gan_train_state(
+        params, disc_params, rvq_state, trainer.optimizer_g, trainer.optimizer_d
+    )
+    CountingDataset.reads = 0
+    trainer.run(state, ds, ds)
+    assert CountingDataset.reads == 0, (
+        f"batch building decoded {CountingDataset.reads} utterances despite "
+        "the shape file"
+    )
