@@ -1,7 +1,14 @@
 """Headline benchmark: nq32 encode+decode audio-seconds/sec/chip on TPU.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+`value` is the PRODUCTION serving path (bf16 params + fused Pallas RVQ
+search). The same line also reports the bit-exact fp32 path (the CLI
+default used for token-parity claims), the token flip rate between the two
+(first quantizer and all 32), and MFU / HBM-utilization estimates from
+XLA's compiled cost analysis — the model is HBM-bandwidth-bound at this
+batch point (see NOTES_ROUND2.md).
 
 vs_baseline is measured against the PyTorch reference implementation
 (funcodec SEANet + DistributedRVQ) running on this host's CPU — the only
@@ -15,62 +22,101 @@ import time
 
 import numpy as np
 
+V5E_PEAK_TFLOPS = 197.0  # bf16
+V5E_PEAK_GBS = 819.0  # HBM
 
-def bench_tpu(batch=256, seconds=10, sr=16000, warmup=2, iters=5, dtype="bfloat16"):
-    """Production inference path: bf16 conv stacks, fp32 codebook distances.
 
-    batch=256 sits at the measured v5e throughput knee (B=32: 2.2k, B=64:
-    3.4k, B=128: 5.8k, B=256: 6.1k audio-s/s; B=512 exceeds the 16G HBM).
+def _timeit(fn, args, warmup=2, iters=5):
+    """Best-of-N wall time; a scalar host fetch is the sync fence (on the
+    axon tunnel block_until_ready does not synchronize)."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+        float(out[0])
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(out[0])
+        best = min(best, time.perf_counter() - t0)
+    return best, out
 
-    Timing fetches a scalar checksum per call — on the axon tunnel,
-    block_until_ready on a device array does not synchronize, so a tiny
-    host transfer is the reliable fence (and avoids timing the full
-    waveform D2H transfer, which is not part of the compute metric).
-    """
+
+def bench_tpu(batch=256, seconds=10, sr=16000):
+    """Times both serving paths at the measured v5e throughput knee (B=256;
+    B=32: 2.2k, B=64: 3.4k, B=128: 5.8k, B=256: 6.1-6.2k audio-s/s; B=512
+    exceeds the 16G HBM)."""
     import jax
     import jax.numpy as jnp
 
     import funcodec_tpu.quant.rvq as rvq_mod
-
-    # Production serving config: fused Pallas RVQ codebook search (bf16 MXU
-    # distances, residual in VMEM — measured faster than the fp32 scan; can
-    # flip near-tie tokens, see quant/rvq.py:PALLAS_RVQ).
-    rvq_mod.PALLAS_RVQ = True
-
     from __graft_entry__ import _build_flagship
 
     model, _ = _build_flagship(kmeans_init=False)
-    params, rvq_state = model.init(jax.random.PRNGKey(0))
-    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jdtype) if x.dtype == jnp.float32 else x, params
+    params_f32, rvq_state = model.init(jax.random.PRNGKey(0))
+    params_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params_f32,
     )
 
     T = seconds * sr
-    speech = jnp.asarray(
+    speech_f32 = jnp.asarray(
         np.random.RandomState(0).randn(batch, T).astype(np.float32) * 0.1
-    ).astype(jdtype)
-
-    @jax.jit
-    def encode_decode(params, rvq_state, speech):
-        out = model.inference(params, rvq_state, speech, need_recon=True)
-        return (
-            jnp.sum(jnp.abs(out["recon_speech"].astype(jnp.float32))),
-            jnp.sum(out["code_indices"][0]),
-        )
-
-    for _ in range(warmup):
-        s, _ = encode_decode(params, rvq_state, speech)
-        float(s)  # host fetch = sync fence
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        s, _ = encode_decode(params, rvq_state, speech)
-        float(s)
-    dt = (time.perf_counter() - t0) / iters
-
+    )
+    speech_bf16 = speech_f32.astype(jnp.bfloat16)
     audio_secs = batch * seconds
-    return audio_secs / dt
+
+    def make_fn():
+        @jax.jit
+        def encode_decode(params, rvq_state, speech):
+            out = model.inference(params, rvq_state, speech, need_recon=True)
+            return (
+                jnp.sum(jnp.abs(out["recon_speech"].astype(jnp.float32))),
+                out["code_indices"][0],
+            )
+
+        return encode_decode
+
+    # bit-exact fp32 path (CLI default; token-parity contract)
+    rvq_mod.PALLAS_RVQ = False
+    f32_fn = make_fn()
+    dt_f32, out = _timeit(f32_fn, (params_f32, rvq_state, speech_f32))
+    tokens_f32 = np.asarray(out[1])
+
+    # production path: bf16 convs + fused Pallas RVQ search
+    rvq_mod.PALLAS_RVQ = True
+    bf16_fn = make_fn()
+    dt_bf16, out = _timeit(bf16_fn, (params_bf16, rvq_state, speech_bf16))
+    tokens_bf16 = np.asarray(out[1])
+
+    flip_all = float((tokens_f32 != tokens_bf16).mean())
+    flip_q0 = float((tokens_f32[0] != tokens_bf16[0]).mean())
+
+    # compiled cost analysis -> roofline utilization of the production path
+    mfu = hbm = None
+    try:
+        an = (
+            bf16_fn.lower(params_bf16, rvq_state, speech_bf16)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(an, list):
+            an = an[0]
+        tflops = float(an.get("flops", 0.0)) / 1e12
+        gbytes = float(an.get("bytes accessed", 0.0)) / 1e9
+        mfu = 100.0 * (tflops / dt_bf16) / V5E_PEAK_TFLOPS
+        hbm = 100.0 * (gbytes / dt_bf16) / V5E_PEAK_GBS
+    except Exception:
+        pass
+
+    return {
+        "bf16_audio_s_per_s": audio_secs / dt_bf16,
+        "fp32_audio_s_per_s": audio_secs / dt_f32,
+        "token_flip_rate_q0": flip_q0,
+        "token_flip_rate_all": flip_all,
+        "mfu_pct": mfu,
+        "hbm_util_pct": hbm,
+    }
 
 
 def bench_torch_reference(batch=1, seconds=10, sr=16000, iters=2):
@@ -110,16 +156,22 @@ def bench_torch_reference(batch=1, seconds=10, sr=16000, iters=2):
 
 
 def main():
-    value = bench_tpu()
+    tpu = bench_tpu()
     try:
         baseline = bench_torch_reference()
     except Exception:
         baseline = None
+    value = tpu["bf16_audio_s_per_s"]
     result = {
         "metric": "encode+decode audio-secs/sec/chip (EnCodec 16k nq32ds320)",
         "value": round(value, 2),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
+        "fp32_bitexact_audio_s_per_s": round(tpu["fp32_audio_s_per_s"], 2),
+        "token_flip_rate_q0": round(tpu["token_flip_rate_q0"], 5),
+        "token_flip_rate_all": round(tpu["token_flip_rate_all"], 5),
+        "mfu_pct": round(tpu["mfu_pct"], 2) if tpu["mfu_pct"] else None,
+        "hbm_util_pct": round(tpu["hbm_util_pct"], 2) if tpu["hbm_util_pct"] else None,
         "baseline": {
             "what": "PyTorch reference (funcodec) encode+decode on host CPU",
             "audio_s_per_s": round(baseline, 2) if baseline else None,

@@ -149,6 +149,92 @@ class Text2Audio:
         }
 
 
+    def batch_synthesize(
+        self,
+        items,  # list of dicts {text, prompt_text?, prompt_audio?}
+        max_length: Optional[int] = None,
+    ):
+        """Batched synthesis: ONE decode_codec_batch dispatch drives all
+        rows' AR loops together (the reference is strictly batch-1,
+        laura_model.py:501-548). Returns a list of {'gen', 'gen_only_lm'}
+        dicts in input order."""
+        cfg = self.model.cfg
+        feats_list, prompts = [], []
+        for it in items:
+            feats = self._text_to_features(it["text"])
+            continual = None
+            if it.get("prompt_audio") is not None:
+                token_id, *_ = self.codec(
+                    it["prompt_audio"][None, :], run_mod="encode", bit_width=None
+                )
+                continual = (
+                    np.asarray(token_id[0])[: cfg.predict_nq, 0, :].T
+                ).astype(np.int64)
+                if it.get("prompt_text") is not None:
+                    pt = self._text_to_features(it["prompt_text"])
+                    feats = np.concatenate([pt, feats], axis=1)
+            feats_list.append(feats)
+            prompts.append(
+                continual
+                if continual is not None
+                else np.zeros((0, cfg.predict_nq), np.int64)
+            )
+
+        B = len(items)
+        Lmax = max(f.shape[1] for f in feats_list)
+        Pmax = max(p.shape[0] for p in prompts)
+        is_ids = feats_list[0].dtype.kind in "iu"
+        pad_val = cfg.ignore_id if is_ids else 0.0
+        if is_ids:
+            text_pad = np.full((B, Lmax), pad_val, np.int32)
+        else:
+            D = feats_list[0].shape[-1]
+            text_pad = np.zeros((B, Lmax, D), np.float32)
+        tl = np.zeros((B,), np.int32)
+        prompt_pad = np.zeros((B, max(Pmax, 1), cfg.predict_nq), np.int32)
+        pl = np.zeros((B,), np.int32)
+        for b, (f, p) in enumerate(zip(feats_list, prompts)):
+            text_pad[b, : f.shape[1]] = f[0]
+            tl[b] = f.shape[1]
+            prompt_pad[b, : p.shape[0]] = p
+            pl[b] = p.shape[0]
+
+        self.key, d_key = jax.random.split(self.key)
+        max_len = max_length or int(self.max_duration * self.codec_token_rate)
+        rows = self.model.decode_codec_batch(
+            self.params, jnp.asarray(text_pad), jnp.asarray(tl),
+            max_length=max_len, sampling=self.sampling, key=d_key,
+            continual=prompt_pad if Pmax > 0 else None,
+            continual_lengths=pl if Pmax > 0 else None,
+        )
+
+        outs = []
+        for b, tokens_row in enumerate(rows):
+            tokens = tokens_row[None]  # (1, T, nq)
+            gen_start = int(pl[b])
+            lm_tokens = tokens[:, gen_start:, :]
+            if lm_tokens.shape[1] == 0:
+                empty = np.zeros((0,), np.float32)
+                outs.append({"gen": empty, "gen_only_lm": empty})
+                continue
+            _, _, recon_lm, _ = self.codec(lm_tokens, run_mod="decode", bit_width=None)
+
+            def decode_emb(emb):
+                _, _, wav, _ = self.codec(np.asarray(emb), run_mod="decode_emb")
+                return wav
+
+            text_in = jnp.asarray(text_pad[b : b + 1, : tl[b]])
+            recon = self.model.syn_audio(
+                self.params, jnp.asarray(tokens), text_in,
+                jnp.asarray(tl[b : b + 1]), decode_emb,
+                continual_length=gen_start,
+            )
+            outs.append(
+                {"gen": np.asarray(recon)[0], "gen_only_lm": np.asarray(recon_lm)[0]}
+            )
+        return outs
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="TPU LauraTTS inference")
     parser.add_argument("--output_dir", type=str, required=True)
@@ -166,6 +252,8 @@ def main(argv=None):
     parser.add_argument("--sampling", type=str, default="25",
                         help="true/false, int top-k, or float top-p")
     parser.add_argument("--sampling_rate", type=int, default=16000)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help=">1 drives batched AR decode (decode_codec_batch)")
     args = parser.parse_args(argv)
 
     s = args.sampling
@@ -189,7 +277,7 @@ def main(argv=None):
     prompts_wav = read_2column_text(args.prompt_wav_scp) if args.prompt_wav_scp else {}
     prompts_text = read_2column_text(args.prompt_text_scp) if args.prompt_text_scp else {}
 
-    for key, text in texts.items():
+    def load_item(key, text):
         if args.text_type == "ids":
             text = np.array([int(x) for x in text.split()], np.int64)
         prompt_audio = None
@@ -200,11 +288,11 @@ def main(argv=None):
             if sr != args.sampling_rate:
                 wav = resample(wav, sr, args.sampling_rate)
             prompt_audio = wav
-        out = pipeline(
-            text,
-            prompt_text=prompts_text.get(key),
-            prompt_audio=prompt_audio,
+        return dict(
+            text=text, prompt_text=prompts_text.get(key), prompt_audio=prompt_audio
         )
+
+    def emit(key, out):
         for tag, wav in out.items():
             if wav.size:
                 save_audio(
@@ -214,6 +302,24 @@ def main(argv=None):
         logging.info("%s: gen %.2fs, gen_only_lm %.2fs", key,
                      out["gen"].size / args.sampling_rate,
                      out["gen_only_lm"].size / args.sampling_rate)
+
+    entries = list(texts.items())
+    if args.batch_size <= 1:
+        for key, text in entries:
+            item = load_item(key, text)
+            out = pipeline(
+                item["text"],
+                prompt_text=item["prompt_text"],
+                prompt_audio=item["prompt_audio"],
+            )
+            emit(key, out)
+    else:
+        for i in range(0, len(entries), args.batch_size):
+            chunk = entries[i : i + args.batch_size]
+            items = [load_item(k, t) for k, t in chunk]
+            outs = pipeline.batch_synthesize(items)
+            for (key, _), out in zip(chunk, outs):
+                emit(key, out)
 
 
 if __name__ == "__main__":

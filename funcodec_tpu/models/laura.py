@@ -650,6 +650,163 @@ class LauraGenModel:
             return np.zeros((1, 0, cfg.predict_nq), np.int32)
         return out[None]
 
+    def decode_codec_batch(
+        self,
+        params: Params,
+        text: jnp.ndarray,  # (B, Lt_max, D) raw text features (or (B, Lt) ids)
+        text_lengths: jnp.ndarray,  # (B,)
+        max_length: int = 30 * 25,
+        sampling: Union[bool, int, float] = 0.8,
+        key=None,
+        continual: Optional[np.ndarray] = None,  # (B, Lp_max, nq) prompt tokens
+        continual_lengths: Optional[np.ndarray] = None,  # (B,)
+    ) -> List[np.ndarray]:
+        """Batched AR decode: B utterances advance one shared-KV-cache
+        while_loop together (one dispatch for the whole batch).
+
+        The reference decodes strictly batch-1 (laura_model.py:501-548);
+        batching is the TPU-native upgrade. Ragged prefixes (per-row text and
+        prompt lengths) are LEFT-aligned into the cache: row i occupies cache
+        slots [maxP - P_i, maxP), so every row's last prefix token sits at
+        slot maxP-1 and generated tokens share slots maxP+t across rows —
+        relative-position attention distances between valid tokens stay
+        exact, and the left-pad slots are masked out of every attention.
+
+        Returns a list of (T_i, predict_nq) int32 arrays (prompt included,
+        eos removed), one per row — identical semantics to decode_codec row
+        by row.
+        """
+        cfg = self.cfg
+        lm_cfg = self.codec_lm_cfg
+        key = key if key is not None else jax.random.PRNGKey(0)
+        text_h, text_lengths = self.encode_text(params, text, text_lengths)
+        B = text_h.shape[0]
+        text_lengths = jnp.asarray(text_lengths, jnp.int32)
+
+        if continual is not None:
+            codec = jnp.asarray(continual, jnp.int32)
+            cl = jnp.asarray(continual_lengths, jnp.int32)
+            inputs, llm_lengths = self.build_llm_io(
+                params, text_h, text_lengths, codec=codec, codec_lengths=cl
+            )
+            prompts = np.asarray(codec)
+            prompt_lens = np.asarray(cl)
+        else:
+            cl = jnp.zeros((B,), jnp.int32)
+            inputs, llm_lengths = self.build_llm_io(params, text_h, text_lengths)
+            prompts = np.zeros((B, 0, cfg.predict_nq), np.int32)
+            prompt_lens = np.zeros((B,), np.int32)
+
+        maxP = inputs.shape[1]
+        max_total = maxP + max_length + 1
+        eos = cfg.codebook_size + cfg.sos_eos
+
+        if cfg.lm_pe_type == "split":
+            emb = self._apply_split_pe(params, inputs, text_lengths + 1)
+
+            def embed_step(dense, codec_pos):
+                # per-row absolute codec position (prompt_len + step index)
+                D = dense.shape[-1]
+                pe = jnp.asarray(tfm.sinusoidal_pe(max_total, D))
+                posed = dense * math.sqrt(D) + pe[codec_pos][:, None]
+                return tfm._apply_linear(params["lm_input_layer"], posed)
+        else:
+            assert lm_cfg.pos_enc_type in ("rel_pos", "none"), (
+                "KV-cache decode supports rel_pos/none/split codec LMs"
+            )
+            emb = tfm.apply_embed(lm_cfg, params["codec_lm"], inputs)[0]
+
+            def embed_step(dense, codec_pos):
+                return tfm.apply_embed(lm_cfg, params["codec_lm"], dense)[0]
+
+        # left-align the ragged prefixes (see docstring)
+        shift = (maxP - llm_lengths).astype(jnp.int32)  # (B,)
+        emb = jax.vmap(lambda row, s: jnp.roll(row, s, axis=0))(emb, shift)
+
+        key_pos = jnp.arange(max_total)
+        valid_key = key_pos[None, :] >= shift[:, None]  # (B, max_total)
+
+        cache = init_kv_cache(lm_cfg, B, max_total)
+
+        def sample_rows(k, logits):
+            # logits (B, (V+extra)*nq) -> tokens (B, nq)
+            scores = logits.reshape(B, cfg.predict_nq, -1)
+            ks = jax.random.split(k, B * cfg.predict_nq).reshape(
+                B, cfg.predict_nq, 2
+            )
+            return jax.vmap(
+                jax.vmap(lambda kk, s: self._sample_group(kk, s, sampling))
+            )(ks, scores).astype(jnp.int32)
+
+        def step(cache, groups, codec_pos):
+            dense = self.calc_dense_vector(
+                params, groups[:, None, :], jnp.ones((B,), jnp.int32)
+            )  # (B, 1, D)
+            x = embed_step(dense, codec_pos)
+            h, cache = apply_encoder_step(
+                lm_cfg, params["codec_lm"], cache, x,
+                attend_mask=valid_key[:, None, :],
+            )
+            logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
+            return logits, cache
+
+        @jax.jit
+        def prefill_and_loop(params, cache, emb, key0):
+            h, cache = apply_encoder_step(
+                lm_cfg, params["codec_lm"], cache, emb,
+                attend_mask=jnp.broadcast_to(
+                    valid_key[:, None, :], (B, maxP, max_total)
+                ),
+            )
+            logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])  # (B, V)
+
+            def cond(st):
+                i, done = st[0], st[1]
+                return jnp.logical_and(i < max_length, ~jnp.all(done))
+
+            def body(st):
+                i, done, toks, counts, logits, cache, k = st
+                k, sub = jax.random.split(k)
+                groups = sample_rows(sub, logits)  # (B, nq)
+                hits_eos = jnp.any(groups == eos, axis=-1)  # (B,)
+                emit = jnp.logical_and(~done, ~hits_eos)
+                toks = jnp.where(
+                    emit[:, None, None],
+                    lax.dynamic_update_slice(
+                        toks, groups[:, None, :], (0, i, 0)
+                    ),
+                    toks,
+                )
+                counts = counts + emit.astype(jnp.int32)
+                done = jnp.logical_or(done, hits_eos)
+                # done rows keep stepping (their outputs are ignored); clamp
+                # eos ids out of the codebook-embedding range
+                safe = jnp.where(
+                    jnp.logical_or(done, hits_eos)[:, None],
+                    jnp.zeros_like(groups), groups,
+                )
+                logits2, cache2 = step(cache, safe, cl + i)
+                return (i + 1, done, toks, counts, logits2, cache2, k)
+
+            toks0 = jnp.zeros((B, max_length, cfg.predict_nq), jnp.int32)
+            state = (
+                jnp.int32(0), jnp.zeros((B,), bool), toks0,
+                jnp.zeros((B,), jnp.int32), logits, cache, key0,
+            )
+            _, _, toks, counts, _, _, _ = lax.while_loop(cond, body, state)
+            return toks, counts
+
+        toks, counts = prefill_and_loop(params, cache, emb, key)
+        toks, counts = np.asarray(toks), np.asarray(counts)
+        out = []
+        for b in range(B):
+            out.append(
+                np.concatenate(
+                    [prompts[b, : prompt_lens[b]], toks[b, : counts[b]]], axis=0
+                ).astype(np.int32)
+            )
+        return out
+
     def syn_audio(
         self,
         params: Params,

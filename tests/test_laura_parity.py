@@ -313,3 +313,50 @@ def test_laura_lm_input_aug():
     for sub in ("codec_lm", "text_encoder"):
         leaves = [float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g[sub])]
         assert max(leaves) > 0, sub
+
+
+def test_laura_batched_decode_matches_single(torch):
+    """decode_codec_batch row-by-row == decode_codec (greedy), with ragged
+    text lengths and ragged continual prompts."""
+    ref, model, params = _build_pair(torch)
+    rng = np.random.RandomState(0)
+    texts = [rng.randn(1, L, 20).astype(np.float32) for L in (4, 7, 5)]
+    prompts = [
+        rng.randint(0, 1024, (n, 2)).astype(np.int64) for n in (2, 0, 4)
+    ]
+
+    singles = []
+    for t, pr in zip(texts, prompts):
+        singles.append(
+            model.decode_codec(
+                params, jnp.asarray(t), jnp.asarray([t.shape[1]]),
+                max_length=10, sampling=False,
+                continual=pr if len(pr) else None,
+                key=jax.random.PRNGKey(0),
+            )[0]
+        )
+
+    B, Lmax = len(texts), max(t.shape[1] for t in texts)
+    Pmax = max(len(p) for p in prompts)
+    text_pad = np.zeros((B, Lmax, 20), np.float32)
+    tl = np.zeros((B,), np.int32)
+    prompt_pad = np.zeros((B, Pmax, 2), np.int32)
+    pl = np.zeros((B,), np.int32)
+    for b, (t, pr) in enumerate(zip(texts, prompts)):
+        text_pad[b, : t.shape[1]] = t[0]
+        tl[b] = t.shape[1]
+        prompt_pad[b, : len(pr)] = pr
+        pl[b] = len(pr)
+
+    batch_out = model.decode_codec_batch(
+        params, jnp.asarray(text_pad), jnp.asarray(tl),
+        max_length=10, sampling=False,
+        continual=prompt_pad, continual_lengths=pl,
+        key=jax.random.PRNGKey(0),
+    )
+    assert len(batch_out) == B
+    for b in range(B):
+        np.testing.assert_array_equal(
+            batch_out[b], singles[b],
+            err_msg=f"row {b} diverged from single decode",
+        )

@@ -181,3 +181,41 @@ def test_laura_inference_cli(tts_env):
     for w in wavs:
         sr, x = read_wav(w)
         assert sr == SR and np.isfinite(x).all()
+
+
+def test_laura_inference_cli_batched(tts_env):
+    """--batch_size>1 drives decode_codec_batch: mixed rows (one with a
+    zero-shot prompt, one free), ragged text lengths, one batched dispatch."""
+    from funcodec_tpu.cli.text2audio_inference import main
+
+    root = tts_env
+    assert (root / "exp" / "latest.ckpt").exists(), "train test must run first"
+
+    with open(root / "syn_text_b.scp", "w") as f:
+        f.write("b0 3 1 4 1 5\n")
+        f.write("b1 2 7 2\n")
+        f.write("b2 9 8 7 6 5 4\n")
+    with open(root / "prompt_b.scp", "w") as f:
+        f.write(f"b0 {root}/wavs/u0.wav\n")  # b1/b2 have no prompt
+
+    main([
+        "--output_dir", str(root / "syn_b"),
+        "--config_file", str(root / "laura_config.yaml"),
+        "--model_file", str(root / "exp" / "latest.ckpt"),
+        "--codec_config_file", str(root / "codec_config.yaml"),
+        "--codec_model_file", str(root / "codec.ckpt"),
+        "--text_scp", str(root / "syn_text_b.scp"),
+        "--token_list", str(root / "tokens.txt"),
+        "--token_type", "word",
+        "--prompt_wav_scp", str(root / "prompt_b.scp"),
+        "--sampling", "5",
+        "--batch_size", "3",
+    ])
+    from funcodec_tpu.data.wav_io import read_wav
+
+    wavs = sorted((root / "syn_b").glob("*.wav"))
+    assert wavs, "no synthesized wavs"
+    names = {w.name.rsplit("_", 2)[0].split("_")[0] for w in wavs}
+    for w in wavs:
+        _sr, x = read_wav(w)
+        assert np.isfinite(x).all()
