@@ -7,7 +7,7 @@
 set -euo pipefail
 
 stage=1
-stop_stage=4
+stop_stage=5
 corpus_dir=""              # LibriTTS root with */*/*/*.wav
 data_dir=data
 exp_dir=exp/encodec_16k_n32
@@ -51,4 +51,15 @@ if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
     --config_file "${exp_dir}/config.yaml" --model_file "${exp_dir}/latest.ckpt" \
     --data_path_and_name_and_type "${exp_dir}/dev_codecs/codecs.txt,speech,codec_json" \
     --run_mod decode --bit_width "${bit_width}"
+fi
+
+if [ ${stage} -le 5 ] && [ ${stop_stage} -ge 5 ]; then
+  # objective quality scoring — the reference runs dockerized ViSQOL here
+  # (reference run.sh:249-295); docker is absent, so LSD / multi-scale mel
+  # distortion / SI-SNR stand in (funcodec_tpu/utils/quality.py)
+  echo "stage 5: scoring reconstructions"
+  python -m funcodec_tpu.cli.codec_eval \
+    --ref_scp "${data_dir}/dev/wav.scp" \
+    --deg_dir "${exp_dir}/dev_recon" \
+    --output_dir "${exp_dir}/score"
 fi

@@ -588,12 +588,14 @@ class LauraGenModel:
             logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
             return logits[0], cache
 
-        def step(params, cache, token_group, codec_pos):
+        def step(params, cache, token_group, codec_pos, rel_proj):
             emb = self.calc_dense_vector(
                 params, token_group[None, None, :], jnp.asarray([1])
             )  # (1, 1, D)
             x = embed_step(emb, codec_pos)
-            h, cache = apply_encoder_step(lm_cfg, params["codec_lm"], cache, x)
+            h, cache = apply_encoder_step(
+                lm_cfg, params["codec_lm"], cache, x, rel_proj=rel_proj
+            )
             logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
             return logits[0], cache
 
@@ -608,6 +610,11 @@ class LauraGenModel:
         # segment).
         @jax.jit
         def decode_loop(params, cache, logits0, key0):
+            # loop-invariant: rel-PE tables projected once, gathered per step
+            rel_proj = tfm.precompute_rel_proj(
+                lm_cfg, params["codec_lm"], max_total
+            )
+
             def sample_groups(k, logits):
                 scores = logits.reshape(cfg.predict_nq, -1)
                 ks = jax.random.split(k, cfg.predict_nq)
@@ -630,7 +637,9 @@ class LauraGenModel:
                 logits2, cache2 = lax.cond(
                     is_eos,
                     lambda args: (logits, args[1]),
-                    lambda args: step(params, args[1], args[0], jnp.int32(P) + i),
+                    lambda args: step(
+                        params, args[1], args[0], jnp.int32(P) + i, rel_proj
+                    ),
                     (group, cache),
                 )
                 return (i + jnp.where(is_eos, 0, 1), is_eos, toks, logits2, cache2, k)
@@ -738,20 +747,23 @@ class LauraGenModel:
                 jax.vmap(lambda kk, s: self._sample_group(kk, s, sampling))
             )(ks, scores).astype(jnp.int32)
 
-        def step(cache, groups, codec_pos):
+        def step(cache, groups, codec_pos, rel_proj):
             dense = self.calc_dense_vector(
                 params, groups[:, None, :], jnp.ones((B,), jnp.int32)
             )  # (B, 1, D)
             x = embed_step(dense, codec_pos)
             h, cache = apply_encoder_step(
                 lm_cfg, params["codec_lm"], cache, x,
-                attend_mask=valid_key[:, None, :],
+                attend_mask=valid_key[:, None, :], rel_proj=rel_proj,
             )
             logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
             return logits, cache
 
         @jax.jit
         def prefill_and_loop(params, cache, emb, key0):
+            rel_proj = tfm.precompute_rel_proj(
+                lm_cfg, params["codec_lm"], max_total
+            )
             h, cache = apply_encoder_step(
                 lm_cfg, params["codec_lm"], cache, emb,
                 attend_mask=jnp.broadcast_to(
@@ -785,7 +797,7 @@ class LauraGenModel:
                     jnp.logical_or(done, hits_eos)[:, None],
                     jnp.zeros_like(groups), groups,
                 )
-                logits2, cache2 = step(cache, safe, cl + i)
+                logits2, cache2 = step(cache, safe, cl + i, rel_proj)
                 return (i + 1, done, toks, counts, logits2, cache2, k)
 
             toks0 = jnp.zeros((B, max_length, cfg.predict_nq), jnp.int32)

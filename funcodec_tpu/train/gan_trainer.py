@@ -39,6 +39,7 @@ from funcodec_tpu.train.checkpoint import (
     update_symlink,
 )
 from funcodec_tpu.train.reporter import Reporter
+from funcodec_tpu.parallel.mesh import put_batch
 from funcodec_tpu.train.step import (
     GANTrainState,
     create_gan_train_state,
@@ -195,7 +196,7 @@ class GANCodecTrainer:
         o = self.opt
         t_last = time.time()
         for i, (keys, batch) in enumerate(loader):
-            dev_batch = {"speech": jnp.asarray(batch["speech"])}
+            dev_batch = put_batch({"speech": batch["speech"]}, self.mesh)
             state, stats = step_fn(state, dev_batch, rng)
             if (i + 1) % o.log_interval == 0:
                 host_stats = {k: float(v) for k, v in stats.items()}
@@ -223,29 +224,37 @@ class GANCodecTrainer:
         out_dir = Path(self.opt.output_dir) / "valid_wavs" / f"epoch{epoch}"
         for keys, batch in loader:
             stats, fake = valid_fn(
-                state, {"speech": jnp.asarray(batch["speech"])}, rng
+                state, put_batch({"speech": batch["speech"]}, self.mesh), rng
             )
             sub.register(
                 {k: float(v) for k, v in stats.items()},
                 weight=batch["speech"].shape[0],
             )
             # dump a few real/fake pairs per epoch (gan_trainer.py:482-495)
+            # and score them with the native quality metrics (the recipe's
+            # dockerized-ViSQOL role, run.sh:249-295 — docker absent here)
             if dumped < self.opt.num_valid_dump_wavs:
                 from funcodec_tpu.data.wav_io import save_audio
+                from funcodec_tpu.utils.quality import reconstruction_metrics
 
                 out_dir.mkdir(parents=True, exist_ok=True)
                 fake_np = np.asarray(fake, np.float32)
                 for b, key in enumerate(keys):
                     if dumped >= self.opt.num_valid_dump_wavs:
                         break
+                    real_b = np.asarray(batch["speech"][b], np.float32)
                     save_audio(
-                        batch["speech"][b], out_dir / f"{key}_real.wav",
+                        real_b, out_dir / f"{key}_real.wav",
                         self.opt.sampling_rate, rescale=True,
                     )
                     save_audio(
                         fake_np[b], out_dir / f"{key}_fake.wav",
                         self.opt.sampling_rate, rescale=True,
                     )
+                    q = reconstruction_metrics(
+                        real_b, fake_np[b], sr=self.opt.sampling_rate
+                    )
+                    sub.register(q, weight=1)
                     dumped += 1
         self.reporter.finish_epoch(sub)
         return sub.to_dict()

@@ -143,7 +143,23 @@ class LauraTrainer:
                     stats,
                 )
 
-            self._jit_step = jax.jit(step)
+            if self.mesh is None:
+                self._jit_step = jax.jit(step)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self.mesh, P())
+                dsh = NamedSharding(self.mesh, P("data"))
+                self._jit_step = jax.jit(
+                    step,
+                    in_shardings=(
+                        rep,
+                        {"text": dsh, "text_lengths": dsh,
+                         "codec": dsh, "codec_lengths": dsh},
+                        rep,
+                    ),
+                    out_shardings=(rep, rep),
+                )
         return self._jit_step
 
     def _valid_fn(self):
@@ -163,13 +179,18 @@ class LauraTrainer:
         return self._jit_valid
 
     def _to_device(self, batch: Dict[str, np.ndarray]):
+        from funcodec_tpu.parallel.mesh import put_batch
+
         batch = bucket_batch(batch)
-        return {
-            "text": jnp.asarray(batch["text"]),
-            "text_lengths": jnp.asarray(batch["text_lengths"]),
-            "codec": jnp.asarray(np.maximum(batch["codec"], 0)),
-            "codec_lengths": jnp.asarray(batch["codec_lengths"]),
-        }
+        return put_batch(
+            {
+                "text": batch["text"],
+                "text_lengths": batch["text_lengths"],
+                "codec": np.maximum(batch["codec"], 0),
+                "codec_lengths": batch["codec_lengths"],
+            },
+            self.mesh,
+        )
 
     def run(self, state: TrainState, train_loader_factory, valid_loader_factory, rng=None):
         o = self.opt
