@@ -7,6 +7,8 @@ set -euo pipefail
 model_dir=exp/laura_tts              # trained LM (config.yaml via --config + ckpt)
 codec_dir=exp/encodec_16k_n32
 config=conf/text2audio_codec_lm_nq2_uni_rel_pos.yaml
+# raw English text works out of the box with the built-in G2P fallback:
+#   --token_type phn --token_list conf/arpabet_tokens.txt
 token_list=data/tokens.txt
 token_type=word
 text="nothing was to be done but to put about, and return in disappointment towards the north."

@@ -120,6 +120,8 @@ def main(argv=None):
         num_workers=config.get("num_workers", 8),
         gen_train_interval=config.get("gen_train_interval", 1),
         disc_train_interval=config.get("disc_train_interval", 1),
+        optim=config.get("optim", "adam"),
+        optim2=config.get("optim2", config.get("optim", "adam")),
         optim_conf=config.get("optim_conf", {}),
         optim2_conf=config.get("optim2_conf", {}),
         grad_clip=config.get("grad_clip", -1),

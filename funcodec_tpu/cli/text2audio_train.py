@@ -114,6 +114,7 @@ def main(argv=None):
         patience=config.get("patience"),
         resume=args.resume,
         grad_clip=config.get("grad_clip", 5),
+        optim=config.get("optim", "adam"),
         optim_conf=config.get("optim_conf", {"lr": 1e-3}),
         scheduler=config.get("scheduler", "warmuplr"),
         scheduler_conf=config.get("scheduler_conf", {"warmup_steps": 10000}),

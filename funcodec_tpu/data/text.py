@@ -111,20 +111,34 @@ class WordTokenizer:
 
 
 class PhonemeTokenizer:
-    """g2p_en-backed phoneme tokenizer (phoneme_tokenizer.py:209).
+    """Phoneme tokenizer (phoneme_tokenizer.py:209).
 
-    g2p_en is not available in every environment; construction raises with a
-    clear message, and precomputed phoneme strings can use WordTokenizer.
+    g2p_type="g2p_en" uses the external package when installed;
+    g2p_type="g2p_fallback" (or the default when g2p_en is missing) uses the
+    self-contained rule/lexicon ARPAbet G2P in data/g2p_fallback.py, so raw
+    English text synthesizes without external wheels.
     """
 
     def __init__(self, g2p_type: str = "g2p_en"):
+        if g2p_type in ("g2p_fallback", "rule"):
+            from funcodec_tpu.data.g2p_fallback import G2pFallback
+
+            self.g2p = G2pFallback()
+            return
         try:
             from g2p_en import G2p  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                "g2p_en is not installed; precompute phonemes and feed them as "
-                "space-separated tokens (token_type='word') instead"
-            ) from e
+        except ImportError:
+            import logging
+
+            logging.warning(
+                "g2p_en is not installed; using the built-in rule/lexicon "
+                "ARPAbet fallback (approximate pronunciations — install "
+                "g2p_en for checkpoint-exact phonemes)"
+            )
+            from funcodec_tpu.data.g2p_fallback import G2pFallback
+
+            self.g2p = G2pFallback()
+            return
         self.g2p = G2p()
 
     def text2tokens(self, line: str) -> List[str]:

@@ -546,7 +546,8 @@ class LauraGenModel:
         )
 
         max_total = inputs.shape[1] + max_length + 1
-        cache = init_kv_cache(lm_cfg, 1, max_total)
+        cache_dtype = params["lm_decoder"]["w"].dtype
+        cache = init_kv_cache(lm_cfg, 1, max_total, dtype=cache_dtype)
 
         prompt = (
             np.asarray(continual, np.int32).reshape(-1, cfg.predict_nq)
@@ -555,62 +556,95 @@ class LauraGenModel:
         )
         P = prompt.shape[0]
 
+        prefill, decode_loop = self._get_b1_decode_fns(max_length, sampling)
+        logits, cache = prefill(params, cache, inputs, jnp.asarray([Lt + 1]))
+        toks, n = decode_loop(params, cache, logits, key, jnp.int32(P))
+        n = int(n)
+        out = np.concatenate([prompt, np.asarray(toks)[:n]], axis=0)
+        if out.shape[0] == 0:
+            return np.zeros((1, 0, cfg.predict_nq), np.int32)
+        return out[None]
+
+    def _decode_jit_cache(self):
+        # memoized jitted decode functions: defining fresh @jax.jit wrappers
+        # per decode_codec call forced a full re-trace of the 12-layer
+        # while_loop EVERY call (~8 s on the 84M LM — 50x the actual loop
+        # execution). Per-call values (prompt length, speech length, padding
+        # masks) are traced ARGUMENTS so one wrapper serves every call.
+        if not hasattr(self, "_decode_fns"):
+            self._decode_fns: Dict[Any, Any] = {}
+        return self._decode_fns
+
+    def _embed_fns(self, max_length: int):
+        """(embed_prefill(params, inputs, speech_lengths),
+        embed_step(params, dense, codec_pos (B,))) for the lm_pe_type."""
+        cfg, lm_cfg = self.cfg, self.codec_lm_cfg
         if cfg.lm_pe_type == "split":
             # split mode: absolute pos restarts at the codec segment; the
             # incremental step applies the token's own position encoding
-            speech_len = Lt + 1  # sos + text
+            def embed_prefill(params, inputs, speech_lengths):
+                return self._apply_split_pe(params, inputs, speech_lengths)
 
-            def embed_prefill(inputs):
-                return self._apply_split_pe(
-                    params, inputs, jnp.asarray([speech_len])
-                )
-
-            def embed_step(emb, codec_pos):
-                D = emb.shape[-1]
-                pe = jnp.asarray(tfm.sinusoidal_pe(P + max_length + 1, D))
-                posed = emb * math.sqrt(D) + pe[codec_pos][None, None]
+            def embed_step(params, dense, codec_pos):
+                D = dense.shape[-1]
+                # constant table covering prompt_len + max_length positions;
+                # codec_pos is a traced (B,) vector of per-row positions
+                pe = jnp.asarray(tfm.sinusoidal_pe(max_length + 4096, D))
+                posed = dense * math.sqrt(D) + pe[codec_pos][:, None]
                 return tfm._apply_linear(params["lm_input_layer"], posed)
         else:
             assert lm_cfg.pos_enc_type in ("rel_pos", "none"), (
                 "KV-cache decode supports rel_pos/none/split codec LMs"
             )
 
-            def embed_prefill(inputs):
+            def embed_prefill(params, inputs, speech_lengths):
                 return tfm.apply_embed(lm_cfg, params["codec_lm"], inputs)[0]
 
-            def embed_step(emb, codec_pos):
-                return tfm.apply_embed(lm_cfg, params["codec_lm"], emb)[0]
+            def embed_step(params, dense, codec_pos):
+                return tfm.apply_embed(lm_cfg, params["codec_lm"], dense)[0]
+
+        return embed_prefill, embed_step
+
+    def _get_b1_decode_fns(self, max_length: int, sampling):
+        """Jitted (prefill, decode_loop) for batch-1 decode, memoized per
+        (max_length, sampling); shapes are handled by jit retracing."""
+        cache_key = ("b1", max_length, sampling)
+        fns = self._decode_jit_cache()
+        if cache_key in fns:
+            return fns[cache_key]
+
+        cfg, lm_cfg = self.cfg, self.codec_lm_cfg
+        eos = cfg.codebook_size + cfg.sos_eos
+        embed_prefill, embed_step = self._embed_fns(max_length)
 
         @jax.jit
-        def prefill(params, cache, inputs):
-            x = embed_prefill(inputs)
+        def prefill(params, cache, inputs, speech_lengths):
+            x = embed_prefill(params, inputs, speech_lengths)
             h, cache = apply_encoder_step(lm_cfg, params["codec_lm"], cache, x)
             logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
             return logits[0], cache
 
         def step(params, cache, token_group, codec_pos, rel_proj):
-            emb = self.calc_dense_vector(
+            dense = self.calc_dense_vector(
                 params, token_group[None, None, :], jnp.asarray([1])
             )  # (1, 1, D)
-            x = embed_step(emb, codec_pos)
+            x = embed_step(params, dense, codec_pos[None])
             h, cache = apply_encoder_step(
                 lm_cfg, params["codec_lm"], cache, x, rel_proj=rel_proj
             )
             logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
             return logits[0], cache
 
-        eos = cfg.codebook_size + cfg.sos_eos
-
-        # The whole AR loop runs in ONE on-device while_loop (one dispatch),
-        # not one jitted call per token — on the axon tunnel each dispatch
-        # costs ~26ms, which would dominate synthesis time. Semantics match
-        # the reference's host loop (laura_model.py:521-545): sample a group,
+        # The whole AR loop runs in ONE on-device while_loop (one dispatch,
+        # ~26 ms/dispatch on the axon tunnel). Semantics match the
+        # reference's host loop (laura_model.py:521-545): sample a group,
         # stop BEFORE emitting if any member is <eos>, else feed it back at
         # codec position P+i (split-pe positions restart at the codec
         # segment).
         @jax.jit
-        def decode_loop(params, cache, logits0, key0):
+        def decode_loop(params, cache, logits0, key0, prompt_len):
             # loop-invariant: rel-PE tables projected once, gathered per step
+            max_total = cache.k[0].shape[1]
             rel_proj = tfm.precompute_rel_proj(
                 lm_cfg, params["codec_lm"], max_total
             )
@@ -638,7 +672,7 @@ class LauraGenModel:
                     is_eos,
                     lambda args: (logits, args[1]),
                     lambda args: step(
-                        params, args[1], args[0], jnp.int32(P) + i, rel_proj
+                        params, args[1], args[0], prompt_len + i, rel_proj
                     ),
                     (group, cache),
                 )
@@ -651,13 +685,8 @@ class LauraGenModel:
             )
             return toks, i
 
-        logits, cache = prefill(params, cache, inputs)
-        toks, n = decode_loop(params, cache, logits, key)
-        n = int(n)
-        out = np.concatenate([prompt, np.asarray(toks)[:n]], axis=0)
-        if out.shape[0] == 0:
-            return np.zeros((1, 0, cfg.predict_nq), np.int32)
-        return out[None]
+        fns[cache_key] = (prefill, decode_loop)
+        return fns[cache_key]
 
     def decode_codec_batch(
         self,
@@ -708,25 +737,14 @@ class LauraGenModel:
 
         maxP = inputs.shape[1]
         max_total = maxP + max_length + 1
-        eos = cfg.codebook_size + cfg.sos_eos
 
         if cfg.lm_pe_type == "split":
             emb = self._apply_split_pe(params, inputs, text_lengths + 1)
-
-            def embed_step(dense, codec_pos):
-                # per-row absolute codec position (prompt_len + step index)
-                D = dense.shape[-1]
-                pe = jnp.asarray(tfm.sinusoidal_pe(max_total, D))
-                posed = dense * math.sqrt(D) + pe[codec_pos][:, None]
-                return tfm._apply_linear(params["lm_input_layer"], posed)
         else:
             assert lm_cfg.pos_enc_type in ("rel_pos", "none"), (
                 "KV-cache decode supports rel_pos/none/split codec LMs"
             )
             emb = tfm.apply_embed(lm_cfg, params["codec_lm"], inputs)[0]
-
-            def embed_step(dense, codec_pos):
-                return tfm.apply_embed(lm_cfg, params["codec_lm"], dense)[0]
 
         # left-align the ragged prefixes (see docstring)
         shift = (maxP - llm_lengths).astype(jnp.int32)  # (B,)
@@ -735,36 +753,66 @@ class LauraGenModel:
         key_pos = jnp.arange(max_total)
         valid_key = key_pos[None, :] >= shift[:, None]  # (B, max_total)
 
-        cache = init_kv_cache(lm_cfg, B, max_total)
+        cache = init_kv_cache(
+            lm_cfg, B, max_total, dtype=params["lm_decoder"]["w"].dtype
+        )
 
-        def sample_rows(k, logits):
-            # logits (B, (V+extra)*nq) -> tokens (B, nq)
-            scores = logits.reshape(B, cfg.predict_nq, -1)
-            ks = jax.random.split(k, B * cfg.predict_nq).reshape(
-                B, cfg.predict_nq, 2
+        prefill_and_loop = self._get_batch_decode_fn(max_length, sampling)
+        toks, counts = prefill_and_loop(params, cache, emb, key, valid_key, cl)
+        toks, counts = np.asarray(toks), np.asarray(counts)
+        out = []
+        for b in range(B):
+            out.append(
+                np.concatenate(
+                    [prompts[b, : prompt_lens[b]], toks[b, : counts[b]]], axis=0
+                ).astype(np.int32)
             )
-            return jax.vmap(
-                jax.vmap(lambda kk, s: self._sample_group(kk, s, sampling))
-            )(ks, scores).astype(jnp.int32)
+        return out
 
-        def step(cache, groups, codec_pos, rel_proj):
-            dense = self.calc_dense_vector(
-                params, groups[:, None, :], jnp.ones((B,), jnp.int32)
-            )  # (B, 1, D)
-            x = embed_step(dense, codec_pos)
-            h, cache = apply_encoder_step(
-                lm_cfg, params["codec_lm"], cache, x,
-                attend_mask=valid_key[:, None, :], rel_proj=rel_proj,
-            )
-            logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
-            return logits, cache
+    def _get_batch_decode_fn(self, max_length: int, sampling):
+        """Jitted batched prefill+loop, memoized per (max_length, sampling);
+        per-call masks/prompt-lengths are traced arguments, batch/prefix
+        shapes are handled by jit retracing."""
+        cache_key = ("batch", max_length, sampling)
+        fns = self._decode_jit_cache()
+        if cache_key in fns:
+            return fns[cache_key]
+
+        cfg, lm_cfg = self.cfg, self.codec_lm_cfg
+        eos = cfg.codebook_size + cfg.sos_eos
+        _embed_prefill, embed_step = self._embed_fns(max_length)
 
         @jax.jit
-        def prefill_and_loop(params, cache, emb, key0):
+        def prefill_and_loop(params, cache, emb, key0, valid_key, cl):
+            B, maxP = emb.shape[0], emb.shape[1]
+            max_total = cache.k[0].shape[1]
             rel_proj = tfm.precompute_rel_proj(
                 lm_cfg, params["codec_lm"], max_total
             )
-            h, cache = apply_encoder_step(
+
+            def sample_rows(k, logits):
+                # logits (B, (V+extra)*nq) -> tokens (B, nq)
+                scores = logits.reshape(B, cfg.predict_nq, -1)
+                ks = jax.random.split(k, B * cfg.predict_nq).reshape(
+                    B, cfg.predict_nq, 2
+                )
+                return jax.vmap(
+                    jax.vmap(lambda kk, s: self._sample_group(kk, s, sampling))
+                )(ks, scores).astype(jnp.int32)
+
+            def step(cache, groups, codec_pos):
+                dense = self.calc_dense_vector(
+                    params, groups[:, None, :], jnp.ones((B,), jnp.int32)
+                )  # (B, 1, D)
+                x = embed_step(params, dense, codec_pos)
+                h, cache = apply_encoder_step(
+                    lm_cfg, params["codec_lm"], cache, x,
+                    attend_mask=valid_key[:, None, :], rel_proj=rel_proj,
+                )
+                logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
+                return logits, cache
+
+            h, cache2 = apply_encoder_step(
                 lm_cfg, params["codec_lm"], cache, emb,
                 attend_mask=jnp.broadcast_to(
                     valid_key[:, None, :], (B, maxP, max_total)
@@ -797,27 +845,19 @@ class LauraGenModel:
                     jnp.logical_or(done, hits_eos)[:, None],
                     jnp.zeros_like(groups), groups,
                 )
-                logits2, cache2 = step(cache, safe, cl + i, rel_proj)
-                return (i + 1, done, toks, counts, logits2, cache2, k)
+                logits2, cache3 = step(cache, safe, cl + i)
+                return (i + 1, done, toks, counts, logits2, cache3, k)
 
             toks0 = jnp.zeros((B, max_length, cfg.predict_nq), jnp.int32)
             state = (
                 jnp.int32(0), jnp.zeros((B,), bool), toks0,
-                jnp.zeros((B,), jnp.int32), logits, cache, key0,
+                jnp.zeros((B,), jnp.int32), logits, cache2, key0,
             )
             _, _, toks, counts, _, _, _ = lax.while_loop(cond, body, state)
             return toks, counts
 
-        toks, counts = prefill_and_loop(params, cache, emb, key)
-        toks, counts = np.asarray(toks), np.asarray(counts)
-        out = []
-        for b in range(B):
-            out.append(
-                np.concatenate(
-                    [prompts[b, : prompt_lens[b]], toks[b, : counts[b]]], axis=0
-                ).astype(np.int32)
-            )
-        return out
+        fns[cache_key] = prefill_and_loop
+        return fns[cache_key]
 
     def syn_audio(
         self,

@@ -74,6 +74,7 @@ class LauraTrainerOptions:
     resume: bool = True
     num_workers: int = 8
     grad_clip: float = 5.0
+    optim: str = "adam"
     optim_conf: Dict[str, Any] = dataclasses.field(default_factory=lambda: {"lr": 1e-3})
     scheduler: Optional[str] = "warmuplr"
     scheduler_conf: Dict[str, Any] = dataclasses.field(
@@ -93,10 +94,14 @@ class LauraTrainer:
         )
         self.optimizer = make_optimizer(
             lr=options.optim_conf.get("lr", 1e-3),
-            betas=tuple(options.optim_conf.get("betas", (0.9, 0.999))),
+            betas=tuple(options.optim_conf.get("betas", options.optim_conf.get("adam_betas", (0.9, 0.999)))),
+            eps=options.optim_conf.get("eps", options.optim_conf.get("adam_eps", 1e-8)),
+            weight_decay=options.optim_conf.get("weight_decay", 0.0),
             grad_clip=options.grad_clip,
             schedule=schedule,
             accum_grad=options.accum_grad,
+            name=options.optim,
+            momentum=options.optim_conf.get("momentum", 0.0),
         )
         self._jit_step = None
         self._jit_valid = None
@@ -226,8 +231,10 @@ class LauraTrainer:
             self.reporter.finish_epoch(sub)
 
             subv = self.reporter.start_epoch("valid")
-            for keys, batch in valid_loader_factory(epoch):
-                stats = valid_fn(state, self._to_device(batch), rng)
+            for vi, (keys, batch) in enumerate(valid_loader_factory(epoch)):
+                stats = valid_fn(
+                    state, self._to_device(batch), jax.random.fold_in(rng, vi)
+                )
                 subv.register({k: float(v) for k, v in stats.items()}, weight=len(keys))
             self.reporter.finish_epoch(subv)
 

@@ -59,24 +59,43 @@ def make_optimizer(
     schedule: Optional[Callable] = None,
     accum_grad: int = 1,
     grad_noise: bool = False,
+    name: str = "adam",
+    momentum: float = 0.0,
 ) -> optax.GradientTransformation:
-    """Adam (+ optional global-norm clip, + gradient accumulation) matching
-    the recipe optimizers (encodec_16k_n32_600k_step.yaml:53-68; accum_grad
-    semantics of trainer.py:669-719: optimizer steps every `accum_grad`
-    iterations on the averaged gradients)."""
+    """Optimizer from the reference's registry names (abs_task.py:87-153).
+
+    Every shipped recipe uses `optim: adam`; the other registered variants
+    map onto optax as follows (documented equivalences, not ports):
+      * adam / adamw        -> optax.adam / optax.adamw
+      * fairseq_adam        -> Adam with bias correction and DECOUPLED
+                               weight decay (fairseq_adam.py:40-53 applies
+                               wd to params directly, AdamW-style) — optax
+                               adamw when wd>0, adam otherwise
+      * lazy_adamw          -> AdamW (lazy/sparse updates are a CPU-embedding
+                               optimization; TPU gradients are dense)
+      * sgd                 -> optax.sgd(momentum)
+    Plus: optional global-norm clip, annealed gradient noise
+    (arXiv:1511.06807, trainer.py grad_noise flag), and `accum_grad`
+    gradient accumulation (trainer.py:669-719 semantics: step every
+    accum_grad iterations on averaged gradients)."""
     chain = []
     if grad_noise:
-        # gradient noise injection (trainer.py grad_noise flag; annealed
-        # Gaussian noise per arXiv:1511.06807, eta/(1+t)^0.55)
         chain.append(optax.add_noise(eta=0.01, gamma=0.55, key=0))
     if grad_clip and grad_clip > 0:
         chain.append(optax.clip_by_global_norm(grad_clip))
     lr_arg = schedule if schedule is not None else lr
-    if weight_decay > 0:
+    name = (name or "adam").lower()
+    if name == "sgd":
+        chain.append(optax.sgd(lr_arg, momentum=momentum or None))
+    elif name in ("adamw", "lazy_adamw") or (
+        name in ("adam", "fairseq_adam") and weight_decay > 0
+    ):
         chain.append(optax.adamw(lr_arg, b1=betas[0], b2=betas[1], eps=eps,
                                  weight_decay=weight_decay))
-    else:
+    elif name in ("adam", "fairseq_adam"):
         chain.append(optax.adam(lr_arg, b1=betas[0], b2=betas[1], eps=eps))
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
     opt = optax.chain(*chain)
     if accum_grad and accum_grad > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=accum_grad)

@@ -153,3 +153,22 @@ def test_gan_step_survives_nan_batch():
     state, stats = step(state, {"speech": good}, rng)
     assert float(stats["generator_nonfinite_skip"]) == 0.0
     assert not _trees_equal(state.params, before[0])
+
+
+def test_optimizer_name_mapping():
+    """make_optimizer maps the reference registry names (abs_task.py:87-153):
+    fairseq_adam/lazy_adamw/sgd all build and step."""
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 0.1)}
+    for name, wd in (
+        ("adam", 0.0), ("adamw", 0.01), ("fairseq_adam", 0.0),
+        ("fairseq_adam", 0.01), ("lazy_adamw", 0.01), ("sgd", 0.0),
+    ):
+        opt = make_optimizer(lr=1e-2, name=name, weight_decay=wd, momentum=0.9)
+        st = opt.init(params)
+        updates, st = opt.update(grads, st, params)
+        new = optax.apply_updates(params, updates)
+        assert float(jnp.abs(new["w"] - params["w"]).max()) > 0
+
+    with pytest.raises(ValueError):
+        make_optimizer(name="adagrad_spicy")

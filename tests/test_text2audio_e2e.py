@@ -219,3 +219,48 @@ def test_laura_inference_cli_batched(tts_env):
     for w in wavs:
         _sr, x = read_wav(w)
         assert np.isfinite(x).all()
+
+
+def test_raw_text_to_wav_with_g2p_fallback(tts_env, tmp_path):
+    """Raw English text -> phonemes (built-in G2P fallback) -> wav, through
+    the full TTS inference CLI — the demo.sh path with token_type=phn and
+    the shipped ARPAbet token list (no external wheels)."""
+    import shutil
+
+    from funcodec_tpu.cli.text2audio_inference import main
+    from funcodec_tpu.data.wav_io import read_wav
+
+    root = tts_env
+    repo = Path(__file__).parent.parent
+    token_list = repo / "egs/LibriTTS/text2speech_laura/conf/arpabet_tokens.txt"
+    n_vocab = sum(1 for line in open(token_list) if line.strip())
+
+    # tiny Laura config with token-embedding input sized to the ARPAbet list
+    import yaml as _yaml
+
+    cfg = _yaml.safe_load((root / "laura_config.yaml").read_text())
+    cfg["input_size"] = 16
+    cfg["vocab_size"] = n_vocab
+    with open(tmp_path / "laura_phn.yaml", "w") as f:
+        _yaml.safe_dump(cfg, f)
+
+    with open(tmp_path / "text.scp", "w") as f:
+        f.write("demo hello world, this is a test.\n")
+
+    # no LM checkpoint on purpose: random init exercises the same code path
+    main([
+        "--output_dir", str(tmp_path / "out"),
+        "--config_file", str(tmp_path / "laura_phn.yaml"),
+        "--model_file", str(tmp_path / "missing.ckpt"),
+        "--codec_config_file", str(root / "codec_config.yaml"),
+        "--codec_model_file", str(root / "codec.ckpt"),
+        "--text_scp", str(tmp_path / "text.scp"),
+        "--token_list", str(token_list),
+        "--token_type", "phn",
+        "--sampling", "5",
+    ])
+    wavs = sorted((tmp_path / "out").glob("demo_*.wav"))
+    assert wavs, "raw-text synthesis produced no wavs"
+    for w in wavs:
+        _sr, x = read_wav(w)
+        assert np.isfinite(x).all() and x.size > 0
