@@ -151,6 +151,7 @@ def build_tokenizer(
     non_linguistic_symbols=None,
     delimiter: Optional[str] = None,
     g2p_type: Optional[str] = None,
+    bpemodel: Optional[str] = None,
     **_unused,
 ):
     if token_type == "char":
@@ -159,6 +160,11 @@ def build_tokenizer(
         return WordTokenizer(delimiter)
     if token_type == "phn":
         return PhonemeTokenizer(g2p_type or "g2p_en")
+    if token_type == "bpe":
+        from funcodec_tpu.data.sentencepiece_lite import SentencepiecesTokenizer
+
+        assert bpemodel is not None, "token_type=bpe needs bpemodel=<.model path>"
+        return SentencepiecesTokenizer(bpemodel)
     raise ValueError(f"unsupported token_type {token_type}")
 
 
