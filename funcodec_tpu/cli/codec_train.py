@@ -78,6 +78,9 @@ def main(argv=None):
                         help="dump the resolved config yaml and exit (abs_task.py:1108)")
     parser.add_argument("--dry_run", action="store_true",
                         help="build everything, run zero steps (abs_task.py:1299)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of a few compiled "
+                             "steps into this directory (utils/profiling.py)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -132,6 +135,7 @@ def main(argv=None):
         batch_type=config.get("batch_type", "unsorted"),
         batch_bins=config.get("batch_bins", 4_000_000),
         train_shape_file=args.train_shape_file or config.get("train_shape_file"),
+        profile_dir=args.profile_dir,
     )
 
     out = Path(args.output_dir)

@@ -65,6 +65,9 @@ def main(argv=None):
                         help="codec config.yaml (defaults to sibling of the checkpoint)")
     parser.add_argument("--resume", type=lambda s: s.lower() == "true", default=True)
     parser.add_argument("--max_epoch", type=int, default=None)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of a few compiled "
+                             "steps into this directory (utils/profiling.py)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -120,6 +123,7 @@ def main(argv=None):
         scheduler_conf=config.get("scheduler_conf", {"warmup_steps": 10000}),
         num_workers=config.get("num_workers", 8),
         accum_grad=config.get("accum_grad", 1),
+        profile_dir=args.profile_dir,
     )
     trainer = LauraTrainer(model, options)
     state = trainer.init_state(jax.random.PRNGKey(options.seed))

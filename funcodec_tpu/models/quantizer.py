@@ -149,6 +149,111 @@ class Quantizer:
         return self._post(params, out)
 
 
+class ResidualQuantizer:
+    """Lucidrains-surface residual VQ (residual_quantizer.py:5-49).
+
+    The reference wraps the vendored `vector_quantize_pytorch.ResidualVQ`
+    (funcodec/modules/vector_quantize_pytorch/residual_vq.py) behind a thin
+    module whose forward contract is ``x -> (quantized, indices, commit_loss)``
+    with indices shaped (B, T, n_q). It is registered in no task choice in the
+    reference; we expose it anyway so configs written against that surface
+    work, backed by the SAME `quant/rvq.py` core (identical EuclideanCodebook
+    math: L2 argmax, EMA decay, Laplace smoothing, dead-code expiry at
+    threshold 2 — the semantics the lucidrains module shares with
+    ddp_core_vq.py).
+
+    Config mapping (documented equivalences, not a port of the vendored file):
+      * dim/num_quantizers/codebook_size/decay/kmeans_init — direct.
+      * commitment_weight — scales the commit loss we return.
+      * quantize_dropout + cutoff_index + multiple_of — the lucidrains dropout
+        draws a cutoff in [cutoff_index, n_q) and rounds it up to
+        `multiple_of`; we enumerate exactly that set of allowed depths into
+        RVQConfig.rand_num_quant.
+      * sync_kmeans/sync_codebook — obsolete under GSPMD: codebook statistics
+        are psum-ed inside the jitted step, so every replica is always in sync.
+    """
+
+    def __init__(
+        self,
+        input_size: int = 512,
+        codebook_size: int = 1024,
+        num_quantizers: int = 8,
+        commitment_weight: float = 1.0,
+        ema_decay: float = 0.95,
+        quantize_dropout_multiple_of: int = 1,
+        quantize_dropout_cutoff_index: int = 1,
+        kmeans_init: bool = False,
+        sync_kmeans: bool = True,
+        sync_codebook: bool = False,
+        quantize_dropout: bool = False,
+        **_: Any,
+    ):
+        rand_num_quant = None
+        if quantize_dropout:
+            m = max(1, quantize_dropout_multiple_of)
+            # lucidrains: cutoff = randrange(cutoff_index, n_q); kept layers =
+            # cutoff rounded up to multiple_of (residual_vq.py dropout branch),
+            # full depth always possible.
+            depths = sorted(
+                {
+                    min(-(-c // m) * m, num_quantizers)
+                    for c in range(max(1, quantize_dropout_cutoff_index), num_quantizers)
+                }
+                | {num_quantizers}
+            )
+            rand_num_quant = tuple(depths)
+        self.commitment_weight = float(commitment_weight)
+        self.code_dim = input_size
+        self.cfg = QuantizerConfig(
+            input_size=input_size,
+            codebook_size=codebook_size,
+            num_quantizers=num_quantizers,
+            ema_decay=ema_decay,
+            kmeans_init=kmeans_init,
+            quantize_dropout=quantize_dropout,
+            rand_num_quant=rand_num_quant,
+        )
+        self.rvq_cfg = self.cfg.rvq()
+        self._inner = Quantizer(self.cfg)
+
+    def init(self, key):
+        return self._inner.init(key)
+
+    def output_size(self) -> int:
+        return self.code_dim
+
+    def n_q_for_bandwidth(self, bandwidth):
+        return self.cfg.num_quantizers
+
+    def __call__(self, params, state: RVQState, x, key):
+        """Training forward: (B,T,C) -> (quantized, indices (B,T,n_q), loss, state)."""
+        quantized, indices, commit, _, new_state = self._inner.train_forward(
+            params, state, x, key
+        )
+        # lucidrains returns indices stacked last: (B, T, n_q), dropped = -1
+        return (
+            quantized,
+            jnp.transpose(indices, (1, 2, 0)),
+            self.commitment_weight * commit,
+            new_state,
+        )
+
+    # Quantizer-interface passthroughs so the task layer can treat it like
+    # CostumeQuantizer when registered as a quantizer choice.
+    def train_forward(self, params, state, x, key, bandwidth=None):
+        q, idx, c, sub, new_state = self._inner.train_forward(params, state, x, key)
+        return q, idx, self.commitment_weight * c, sub, new_state
+
+    def inference(self, params, state, x, bandwidth=None):
+        return self._inner.inference(params, state, x)
+
+    def encode(self, params, state, x, bandwidth=None):
+        return self._inner.encode(params, state, x)
+
+    def decode(self, params, state, indices):
+        return self._inner.decode(params, state, indices)
+
+
 class IdentityQuantizer:
     """Debug pass-through quantizer (identity_quantizer.py:5-23).
 

@@ -68,6 +68,22 @@ def build_quantizer(conf: Dict[str, Any], input_size: int, name: str = "costume_
         from funcodec_tpu.models.quantizer import IdentityQuantizer
 
         return IdentityQuantizer(QuantizerConfig(**kw))
+    if name == "residual_quantizer":
+        # lucidrains-surface config (residual_quantizer.py:5-34): its kwargs
+        # differ from CostumeQuantizer's, so filter against that surface
+        from funcodec_tpu.models.quantizer import ResidualQuantizer
+
+        rq_kw = {
+            k: v for k, v in conf.items()
+            if k in (
+                "input_size", "codebook_size", "num_quantizers",
+                "commitment_weight", "ema_decay", "quantize_dropout_multiple_of",
+                "quantize_dropout_cutoff_index", "kmeans_init", "sync_kmeans",
+                "sync_codebook", "quantize_dropout",
+            )
+        }
+        rq_kw.setdefault("input_size", input_size)
+        return ResidualQuantizer(**rq_kw)
     return Quantizer(QuantizerConfig(**kw))
 
 

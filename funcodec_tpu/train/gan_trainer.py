@@ -92,6 +92,11 @@ class TrainerOptions:
     # calc_shape / reference abs_task.py:1177-1184) so sorted/length batching
     # does not decode the whole corpus before step 1
     train_shape_file: Optional[str] = None
+    # jax.profiler trace over a window of compiled steps (utils/profiling.py;
+    # the reference's closest analog is thop --stat_flops + host phase timers)
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
 
 
 class GANCodecTrainer:
@@ -205,8 +210,15 @@ class GANCodecTrainer:
         sub = self.reporter.start_epoch("train")
         step_fn = self._get_train_step()
         o = self.opt
+        if not hasattr(self, "_tracer"):
+            from funcodec_tpu.utils.profiling import StepTraceCapture
+
+            self._tracer = StepTraceCapture(
+                o.profile_dir, o.profile_start_step, o.profile_num_steps
+            )
         t_last = time.time()
         for i, (keys, batch) in enumerate(loader):
+            self._tracer.tick(int(state.step))
             t_data = time.time()
             dev_batch = put_batch({"speech": batch["speech"]}, self.mesh)
             state, stats = step_fn(state, dev_batch, rng)
@@ -226,6 +238,7 @@ class GANCodecTrainer:
                 break
             if o.save_ckpt_every_steps and int(state.step) % o.save_ckpt_every_steps == 0:
                 self._save_step_checkpoint(state)
+        self._tracer.stop()
         self.reporter.finish_epoch(sub)
         return state, sub.to_dict()
 

@@ -81,6 +81,10 @@ class LauraTrainerOptions:
         default_factory=lambda: {"warmup_steps": 10000}
     )
     accum_grad: int = 1
+    # jax.profiler trace over a window of compiled steps (utils/profiling.py)
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
 
 
 class LauraTrainer:
@@ -216,11 +220,17 @@ class LauraTrainer:
         step_fn = self._step_fn()
         valid_fn = self._valid_fn()
         phase, key_c, mode = o.best_model_criterion
+        from funcodec_tpu.utils.profiling import StepTraceCapture
+
+        tracer = StepTraceCapture(
+            o.profile_dir, o.profile_start_step, o.profile_num_steps
+        )
 
         for epoch in range(start_epoch, o.max_epoch + 1):
             self.reporter.set_epoch(epoch)
             sub = self.reporter.start_epoch("train")
             for i, (keys, batch) in enumerate(train_loader_factory(epoch)):
+                tracer.tick(int(state.step))
                 state, stats = step_fn(state, self._to_device(batch), rng)
                 sub.register({k: float(v) for k, v in stats.items()},
                              weight=len(keys))
@@ -228,6 +238,7 @@ class LauraTrainer:
                     logging.info(sub.log_message())
                 if o.num_iters_per_epoch and (i + 1) >= o.num_iters_per_epoch:
                     break
+            tracer.stop()
             self.reporter.finish_epoch(sub)
 
             subv = self.reporter.start_epoch("valid")
