@@ -313,6 +313,32 @@ def init_layers(key, layers: Sequence[Layer]) -> List[Any]:
     return params
 
 
+def _try_fused_resblock(spec, p, x):
+    """Whole-resblock Pallas peephole (ops/resblock_pallas.fused_resblock_tgn).
+
+    Qualifies when the block is the canonical [ELU, conv(k,d), ELU, conv(1)]
+    with a 1x1 shortcut and time_group_norm everywhere (every shipped EnCodec
+    config). Returns the fused output or None (caller keeps the XLA path).
+    """
+    from funcodec_tpu.ops import conv as conv_ops
+
+    if not conv_ops.PALLAS_RESBLOCK or x.ndim != 3:
+        return None
+    block, shortcut = spec
+    if shortcut is None or len(block) != 4:
+        return None
+    (k0, s0), (k1, s1), (k2, s2), (k3, s3) = block
+    if k0 != "act" or k2 != "act" or k1 != "conv" or k3 != "conv":
+        return None
+    for name, kwargs in (s0, s2):
+        if name.upper() != "ELU" or dict(kwargs).get("alpha", 1.0) != 1.0:
+            return None
+    from funcodec_tpu.ops.resblock_pallas import fused_resblock_tgn
+
+    return fused_resblock_tgn(x, p["block"][1], p["block"][3], p["shortcut"],
+                              s1, s3, shortcut)
+
+
 def _elu_conv_fusible(kind, spec, nxt) -> bool:
     """act+conv peephole: standalone ELU(alpha=1) directly before a 1D
     stride-1 conv fuses into one Pallas kernel (ops/conv.apply_sconv1d_act),
@@ -380,10 +406,14 @@ def apply_layers(
             y = apply_encoder(_seq_tfm_cfg(spec), p, x, mask)
             x = (x + y) if skip else y
         elif kind == "resblock":
-            block, shortcut = spec
-            y = apply_layers(block, p["block"], x, precision=precision)
-            s = x if shortcut is None else apply_conv(shortcut, p["shortcut"], x, precision=precision)
-            x = s + y
+            fused = _try_fused_resblock(spec, p, x)
+            if fused is not None:
+                x = fused
+            else:
+                block, shortcut = spec
+                y = apply_layers(block, p["block"], x, precision=precision)
+                s = x if shortcut is None else apply_conv(shortcut, p["shortcut"], x, precision=precision)
+                x = s + y
         elif kind == "squeeze":
             # (B, F, T, C) with F==1 -> (B, T, C); ReshapeModule (encoder :240-246)
             x = jnp.squeeze(x, axis=1)

@@ -52,6 +52,10 @@ MATMUL_STRIDE1 = False
 # ops/conv_pallas.py). Saves the materialized pad copy per streamable conv.
 PALLAS_STRIDE1 = False
 
+# Whole-resblock fused Pallas kernel (ops/resblock_pallas.py): 3 streaming
+# passes replace the ~15 HBM tensor passes of the unfused ELU/conv/tgn chain.
+PALLAS_RESBLOCK = False
+
 
 def _as_pair(x) -> Tuple[int, int]:
     if isinstance(x, (tuple, list)):
