@@ -313,7 +313,7 @@ def init_layers(key, layers: Sequence[Layer]) -> List[Any]:
     return params
 
 
-def _try_fused_resblock(spec, p, x):
+def _try_fused_resblock(spec, p, x, packed_f=None):
     """Whole-resblock Pallas peephole (ops/resblock_pallas.fused_resblock_tgn).
 
     Qualifies when the block is the canonical [ELU, conv(k,d), ELU, conv(1)]
@@ -336,7 +336,114 @@ def _try_fused_resblock(spec, p, x):
     from funcodec_tpu.ops.resblock_pallas import fused_resblock_tgn
 
     return fused_resblock_tgn(x, p["block"][1], p["block"][3], p["shortcut"],
-                              s1, s3, shortcut)
+                              s1, s3, shortcut, packed_f=packed_f)
+
+
+def _packed_resblock_xla(spec, p, xp, T, f, precision=None):
+    """Resblock on the packed view with pure XLA packed convs (used when the
+    Pallas kernel is off or doesn't qualify). conv1 re-packs C/2 at 2f, conv2
+    returns to f; stats/activations are packing-invariant."""
+    from funcodec_tpu.ops.packed import apply_sconv1d_packed
+
+    block, shortcut = spec
+    if shortcut is None:
+        return None
+    y, Tc, fc = xp, T, f
+    for (kind_b, spec_b), pb in zip(block, p["block"]):
+        if kind_b == "act":
+            name, kwargs = spec_b
+            y = act_ops.get_activation_fn(name, **kwargs)(y)
+        elif kind_b == "snake":
+            y = act_ops.snake(y, jnp.tile(pb["alpha"], fc))
+        elif kind_b == "conv":
+            res = apply_sconv1d_packed(spec_b, pb, y, Tc, precision)
+            if res is None:
+                return None
+            y, Tc, fc = res
+        else:
+            return None
+    if Tc != T or fc != f:
+        return None
+    res = apply_sconv1d_packed(shortcut, p["shortcut"], xp, T, precision)
+    if res is None:
+        return None
+    return res[0] + y
+
+
+def apply_layers_packed(
+    layers: Sequence[Layer], params: Sequence[Any], x: jnp.ndarray, precision=None
+) -> jnp.ndarray:
+    """apply_layers with packed narrow-stage execution (ops/packed.py).
+
+    While channels are < 128, activations ride a (B, T/f, f*C = 128) view so
+    XLA's lane padding never inflates HBM traffic; convs use block-Toeplitz
+    packed weights and resblocks dispatch to the fused Pallas kernel (or the
+    packed-XLA fallback). Any layer the packed plan can't express unpacks and
+    continues on the normal path. Numerics match apply_layers to conv-
+    accumulation-order tolerance.
+    """
+    from funcodec_tpu.ops.packed import apply_sconv1d_packed, pack_factor
+
+    i = 0
+    layers = list(layers)
+    params = list(params)
+    packed = None  # (T, f, C) while x is the packed view
+
+    def unpack(xp, state):
+        T, f, C = state
+        return xp.reshape(xp.shape[0], T, C)
+
+    while i < len(layers):
+        (kind, spec), p = layers[i], params[i]
+        if packed is None:
+            if (
+                x.ndim == 3
+                and kind in ("act", "snake", "resblock", "conv")
+                and pack_factor(x.shape[-1]) > 1
+                and x.shape[1] % pack_factor(x.shape[-1]) == 0
+            ):
+                C = x.shape[-1]
+                f = pack_factor(C)
+                packed = (x.shape[1], f, C)
+                x = x.reshape(x.shape[0], x.shape[1] // f, f * C)
+                continue
+            x = apply_layers(layers[i : i + 1], params[i : i + 1], x, precision)
+            i += 1
+            continue
+
+        T, f, C = packed
+        if kind == "act":
+            name, kwargs = spec
+            x = act_ops.get_activation_fn(name, **kwargs)(x)
+            i += 1
+        elif kind == "snake":
+            x = act_ops.snake(x, jnp.tile(p["alpha"], f))
+            i += 1
+        elif kind == "resblock":
+            y = _try_fused_resblock(spec, p, x, packed_f=f)
+            if y is None:
+                y = _packed_resblock_xla(spec, p, x, T, f, precision)
+            if y is None:
+                x, packed = unpack(x, packed), None
+                continue
+            x = y
+            i += 1
+        elif kind == "conv":
+            res = apply_sconv1d_packed(spec, p, x, T, precision)
+            if res is None:
+                x, packed = unpack(x, packed), None
+                continue
+            yp, T_out, f_out = res
+            if f_out == 1:
+                x, packed = yp, None
+            else:
+                x, packed = yp, (T_out, f_out, spec.out_channels)
+            i += 1
+        else:
+            x, packed = unpack(x, packed), None
+    if packed is not None:
+        x = unpack(x, packed)
+    return x
 
 
 def _elu_conv_fusible(kind, spec, nxt) -> bool:
@@ -443,6 +550,10 @@ class SEANetEncoder:
     def __call__(self, params, x: jnp.ndarray, precision=None) -> jnp.ndarray:
         if x.ndim == 2:
             x = x[:, :, None]  # (B, T, 1)
+        from funcodec_tpu.ops import conv as conv_ops
+
+        if conv_ops.PACKED_NARROW:
+            return apply_layers_packed(self.layers, params, x, precision=precision)
         return apply_layers(self.layers, params, x, precision=precision)
 
 

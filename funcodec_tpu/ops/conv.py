@@ -56,6 +56,10 @@ PALLAS_STRIDE1 = False
 # passes replace the ~15 HBM tensor passes of the unfused ELU/conv/tgn chain.
 PALLAS_RESBLOCK = False
 
+# Packed narrow-stage execution (ops/packed.py): run C<128 encoder sections
+# in a (B, T/f, f*C=128) view so XLA's lane padding never inflates traffic.
+PACKED_NARROW = False
+
 
 def _as_pair(x) -> Tuple[int, int]:
     if isinstance(x, (tuple, list)):

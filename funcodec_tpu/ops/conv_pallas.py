@@ -257,6 +257,29 @@ def _pack_weights(kernel, f, af, dil, J):
     return Wp
 
 
+def pack_weights_strided(kernel, f_in, f_out, stride, af, dil, J):
+    """Generalized block-Toeplitz packing for a strided conv between packed
+    views with different packing factors.
+
+    Input view rows hold f_in timesteps x C_in channels; output rows hold
+    f_out x C_out. With e the input left-extended by (left + af) pad samples,
+      y[t_out] = sum_k x[stride*t_out + k*dil - left] @ W[k]
+               = sum_k e[stride*t_out + k*dil + af] @ W[k]
+    and t_out = u'*f_out + r_o, the packed conv is
+      yp[u'] = sum_j ep[u' * s_p + j] @ Wp[j],  s_p = stride*f_out/f_in
+    with Wp[j][r_i*C_in + c, r_o*C_out + o] = W[k, c, o] where
+      idx = stride*r_o + k*dil + af,  j = idx // f_in,  r_i = idx % f_in.
+    `_pack_weights` is the (stride=1, f_out=f_in) special case."""
+    K, C, O = kernel.shape
+    Wp = jnp.zeros((J, f_in * C, f_out * O), kernel.dtype)
+    for k in range(K):
+        for ro in range(f_out):
+            idx = stride * ro + k * dil + af
+            j, ri = idx // f_in, idx % f_in
+            Wp = Wp.at[j, ri * C : (ri + 1) * C, ro * O : (ro + 1) * O].set(kernel[k])
+    return Wp
+
+
 def _plan(x, kernel, left, right, dilation, pad_mode, tile):
     """Resolve the lowering plan: ('direct', tile) for C % 128 == 0, or
     ('packed', tile_s, f, af, J, left_p, right_p) for C dividing 128.

@@ -9,6 +9,9 @@ reduction over (T, C) that sits between every conv and its consumer
 (behavioral reference: funcodec/models/encoder/seanet_encoder.py:16-61
 SEANetResnetBlock = [ELU, SConv1d(k,d), ELU, SConv1d(1)] + 1x1 shortcut,
 each conv followed by nn.GroupNorm(1, C) per normed_modules/conv.py:45-52).
+Worse, XLA lane-pads narrow channel dims (C=32 -> 128 lanes), so the wide
+early stages move ~4x their logical bytes (measured: scripts/layout_probe.py,
+130 GB/s logical for an elementwise pass over (B, T, 32) bf16).
 
 DESIGN: the convs at the bandwidth-dominant stages are so cheap relative to
 the traffic that RECOMPUTING them is free. The whole residual block runs as
@@ -21,21 +24,27 @@ HBM:
           emit partial (sum, sumsq) of c                  [stats only]
   pass C: read x -> recompute b, c, s -> out = tgn2(c) + tgn3(s)  [write out]
 
-HBM traffic: 3 reads of x + 1 write of out (~4 tensor passes) vs ~15 for the
-unfused XLA chain. Between passes, the tiny partials are finalized in XLA
-into per-(sample, channel) affine rows A = rs*gamma, D = beta - mu*rs*gamma,
-so in-kernel normalization is a single fused multiply-add.
+HBM traffic: 3 reads of x + 1 write of out (~4 tensor passes, all at full
+128-lane packing) vs ~15 lane-padded passes for the unfused XLA chain.
+Between passes, the tiny partials are finalized in XLA into per-(sample,
+channel) affine rows A = rs*gamma, D = beta - mu*rs*gamma, so in-kernel
+normalization is a single fused multiply-add.
 
-Narrow-channel stages (C in {8,...,64}) use the channel-packed lowering from
-ops/conv_pallas.py: x viewed as (B, T/f, f*C=128), convs become stride-1
-J-tap block-Toeplitz matmuls — full 128-lane MXU contractions. The window
-DMA is double-buffered across the (B, n_t) grid (sequential on TPU) so HBM
-transfer overlaps compute.
+Each pass is a (B, n_t) grid whose x tile is a regular blocked input —
+Pallas's automatic pipeline double-buffers the HBM->VMEM streams (measured
+much faster than hand-rolled DMA with per-step edge splices, the first
+version of this kernel). The conv halo rows (J-1 per tile, including the
+global reflect/replicate pad values) ride in a tiny precomputed side input,
+so the steady-state step does zero conditional work. Narrow-channel stages
+(C in {8,...,64}) use the channel-packed lowering from ops/conv_pallas.py:
+x viewed as (B, T/f, f*C=128), convs become stride-1 J-tap block-Toeplitz
+matmuls — full 128-lane MXU contractions.
 
 Scope: 1D, stride-1, groups=1 convs, norm == time_group_norm on all three
-convs (every shipped EnCodec/LibriTTS config); any dilation/causality/pad
-mode supported by conv_pallas's packing math. Other shapes return None and
-the caller keeps the XLA path.
+convs (every shipped EnCodec/LibriTTS config); dilation/causality/pad modes
+per conv_pallas's packing math; packed length Tp must have a mult-of-8
+divisor in [256, 8192] to tile evenly (bucketed inference lengths do).
+Other shapes return None and the caller keeps the XLA path.
 """
 
 from __future__ import annotations
@@ -49,7 +58,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from funcodec_tpu.ops.conv_pallas import _edge_buffers, _pack_weights, pick_tile
+from funcodec_tpu.ops.conv_pallas import _pack_weights
 from funcodec_tpu.ops.pad import conv_padding_total, split_padding
 
 # Global interpret-mode switch for CPU tests (mirrors conv_pallas.INTERPRET).
@@ -61,116 +70,76 @@ def _elu(x):
     return jnp.where(xf > 0, xf, jnp.exp(jnp.minimum(xf, 0.0)) - 1.0)
 
 
+def _pick_even_tile(Tp: int, lo: int = 256, hi: int = 8192) -> Optional[int]:
+    """Largest mult-of-8 divisor of Tp in [lo, hi] (even tiling, no raggedness)."""
+    best = None
+    for d in range(8, hi + 1, 8):
+        if Tp % d == 0 and d >= lo:
+            best = d
+    if best is None and Tp % 8 == 0 and lo <= Tp <= hi:
+        best = Tp
+    if best is None and Tp <= hi and Tp % 8 == 0:
+        best = Tp  # single tile
+    return best
+
+
 def _rb_kernel(
-    x_hbm,     # (B, Tp, L) ANY/HBM — packed input
-    ledge,     # (B, max(left,1), L) VMEM — left pad rows (packed)
-    tailbuf,   # (B, >= m+right, L) VMEM — x[Tp-m:Tp] ++ right pad rows
+    tile_ref,  # (1, TILE, L) VMEM — x rows [t*TILE, (t+1)*TILE), auto-pipelined
+    hal_ref,   # (1, 1, 8, L) VMEM — rows 0:Hl = left halo, Hl:Hl+Hr = right halo
     w1,        # (J, L, Lb) VMEM — packed conv1 taps
     w2,        # (Lb, L) VMEM — packed conv2 (k=1, block-diagonal)
     ws,        # (L, L) VMEM — packed shortcut (k=1, block-diagonal)
     bias,      # (8, L) f32 VMEM — row 0: b1 (lanes :Lb), 1: b2, 2: bs
-    aff,       # (B, 8, L) f32 VMEM — rows (A1,D1,A2,D2,A3,D3), A/D per sample
+    aff,       # (B, 8, L) f32 VMEM — rows (A1,D1,A2,D2,A3,D3) per sample
     o_ref,     # mode 0/1: (1,1,8,128) f32 partials; mode 2: (1,TILE,L) out
-    scratch,   # (2, Wd, L) VMEM window slots
-    sems,      # DMA semaphores (2,)
     *,
-    mode, J, left, right, Tp, TILE, Lb, L, a, n_t, n_b,
+    mode, J, Hl, Hr, TILE, Lb, L,
 ):
     b_i = pl.program_id(0)
-    t = pl.program_id(1)
-    n = b_i * n_t + t
-    Wd = scratch.shape[1]
+    xt = tile_ref[0]  # (TILE, L)
+    dt = xt.dtype
 
-    def dma(bb, tt, slot):
-        # aligned fetch: window start u0 = tt*TILE - left is congruent to
-        # -left mod 8 for every tile (TILE % 8 == 0), so fetching from
-        # u0 - a with a = (-left) % 8 is always 8-aligned (conv_pallas._kernel)
-        s8 = jnp.clip(tt * (TILE // 8) - (left + a) // 8, 0, (Tp - Wd) // 8)
-        return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(s8 * 8, Wd), :], scratch.at[slot], sems.at[slot]
-        )
+    if Hl + Hr > 0:
+        pieces = []
+        if Hl > 0:
+            pieces.append(hal_ref[0, 0, 0:Hl, :])
+        pieces.append(xt)
+        if Hr > 0:
+            pieces.append(hal_ref[0, 0, Hl : Hl + Hr, :])
+        xe = jnp.concatenate(pieces, axis=0)  # (Hl+TILE+Hr, L), one copy
+    else:
+        xe = xt
 
-    # double buffering: warm-up fetch at step 0, prefetch next each step
-    @pl.when(n == 0)
-    def _():
-        dma(b_i, t, 0).start()
-
-    nxt_t = jnp.where(t + 1 < n_t, t + 1, 0)
-    nxt_b = jnp.where(t + 1 < n_t, b_i, jnp.minimum(b_i + 1, n_b - 1))
-
-    @pl.when(n + 1 < n_b * n_t)
-    def _():
-        dma(nxt_b, nxt_t, (n + 1) % 2).start()
-
-    dma(b_i, t, n % 2).wait()
-    data = scratch[n % 2]
-
-    # --- edge splices (value-level; logic mirrors conv_pallas._kernel) ------
-    if left > 0:
-        def lsplice():
-            r = a + left
-            d2 = jnp.concatenate([data[Wd - r:, :], data[: Wd - r, :]], axis=0)
-            return jnp.concatenate(
-                [d2[:a, :], ledge[b_i, 0:left, :], d2[a + left:, :]], axis=0
-            )
-        data = jnp.where(t == 0, lsplice(), data)
-
-    t_right = n_t - 1
-    m = (Tp - Wd) % 8
-    tail_len = m + right
-    shift = (t_right * TILE - left - a) - ((Tp - Wd) // 8 * 8)
-    if shift > 0 or tail_len > 0:
-        def rsplice():
-            d2 = data
-            if shift > 0:
-                d2 = jnp.concatenate([d2[shift:, :], d2[:shift, :]], axis=0)
-            if tail_len > 0:
-                pos = Tp - m - (t_right * TILE - left)
-                p = a + pos
-                d2 = jnp.concatenate(
-                    [d2[:p, :], tailbuf[b_i, 0:tail_len, :], d2[p + tail_len:, :]],
-                    axis=0,
-                )
-            return d2
-        data = jnp.where(t == t_right, rsplice(), data)
-
-    dt = data.dtype
     affb = aff[b_i]  # (8, L) f32
 
-    # rows of this tile that are real output rows (last tile is ragged)
-    valid = Tp - t * TILE
-    rmask = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0) < valid
-
-    def msum(v):  # masked sum + sumsq of an f32 (TILE, lanes) value
-        vm = jnp.where(rmask, v, 0.0)
-        return jnp.sum(vm), jnp.sum(vm * vm)
-
-    # --- conv1: b = ELU(x) (*) W1, J packed taps on the MXU -----------------
-    u = _elu(data).astype(dt)
-    b_acc = jnp.zeros((TILE, Lb), jnp.float32)
+    # conv1: b = ELU(x) (*) W1 — J offset-slice matmuls on the MXU
+    ue = _elu(xe).astype(dt)
+    acc = jnp.zeros((TILE, Lb), jnp.float32)
     for j in range(J):
-        b_acc = b_acc + jnp.dot(
-            u[a + j : a + j + TILE, :], w1[j], preferred_element_type=jnp.float32
+        acc = acc + jnp.dot(
+            ue[j : j + TILE, :], w1[j], preferred_element_type=jnp.float32
         )
-    b_acc = b_acc + bias[0:1, :Lb]
-    b_r = b_acc.astype(dt)  # round like the XLA path (conv output dtype)
+    b_r = (acc + bias[0:1, :Lb]).astype(dt)  # round like the XLA conv output
 
-    def srow(*vals):  # (8,128) partials row block
+    def srow(*vals):  # (8,128) partials block
         rows = [jnp.full((1, 128), v, jnp.float32) for v in vals]
         rows += [jnp.zeros((1, 128), jnp.float32)] * (8 - len(rows))
         return jnp.concatenate(rows, axis=0)
 
+    def sums(v):  # f32 sum + sumsq (even tiling: no masking needed)
+        vf = v.astype(jnp.float32)
+        return jnp.sum(vf), jnp.sum(vf * vf)
+
     if mode == 0:
-        xt = data[a + left : a + left + TILE, :]
         s_r = (
             jnp.dot(xt, ws[...], preferred_element_type=jnp.float32) + bias[2:3, :]
         ).astype(dt)
-        sb, sqb = msum(b_r.astype(jnp.float32))
-        ss, sqs = msum(s_r.astype(jnp.float32))
+        sb, sqb = sums(b_r)
+        ss, sqs = sums(s_r)
         o_ref[0, 0] = srow(sb, sqb, ss, sqs)
         return
 
-    # tgn1 as affine rows, then conv2
+    # tgn1 as per-sample affine rows, then conv2
     bn = b_r.astype(jnp.float32) * affb[0:1, :Lb] + affb[1:2, :Lb]
     v = _elu(bn).astype(dt)
     c_r = (
@@ -178,12 +147,11 @@ def _rb_kernel(
     ).astype(dt)
 
     if mode == 1:
-        sc, sqc = msum(c_r.astype(jnp.float32))
+        sc, sqc = sums(c_r)
         o_ref[0, 0] = srow(sc, sqc)
         return
 
     # mode 2: out = tgn2(c) + tgn3(s)
-    xt = data[a + left : a + left + TILE, :]
     s_r = (
         jnp.dot(xt, ws[...], preferred_element_type=jnp.float32) + bias[2:3, :]
     ).astype(dt)
@@ -193,27 +161,14 @@ def _rb_kernel(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("mode", "J", "left", "right", "tile", "Lb", "interpret"),
+    jax.jit, static_argnames=("mode", "J", "Hl", "Hr", "tile", "Lb", "interpret")
 )
-def _rb_pass(xp, ledge, tailbuf, w1, w2, ws, bias, aff,
-             mode, J, left, right, tile, Lb, interpret):
+def _rb_pass(xp, hal, w1, w2, ws, bias, aff, mode, J, Hl, Hr, tile, Lb, interpret):
     B, Tp, L = xp.shape
-    n_t = -(-Tp // tile)
-    a = (-left) % 8
-    Wd = tile + -(-(J - 1 + a) // 8) * 8
-
-    # tail rows the aligned DMA misses (conv_pallas._fused_conv1d_s1_impl)
-    m = (Tp - Wd) % 8
-    pieces = []
-    if m > 0:
-        pieces.append(xp[:, Tp - m : Tp])
-    if right > 0:
-        pieces.append(tailbuf[:, :right])
-    tb = jnp.concatenate(pieces, axis=1) if pieces else tailbuf[:, :1]
+    n_t = Tp // tile
 
     if mode == 2:
-        out_shape = jax.ShapeDtypeStruct((B, n_t * tile, L), xp.dtype)
+        out_shape = jax.ShapeDtypeStruct((B, Tp, L), xp.dtype)
         out_spec = pl.BlockSpec(
             (1, tile, L), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         )
@@ -223,17 +178,16 @@ def _rb_pass(xp, ledge, tailbuf, w1, w2, ws, bias, aff,
             (1, 1, 8, 128), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
         )
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
-            _rb_kernel,
-            mode=mode, J=J, left=left, right=right, Tp=Tp, TILE=tile,
-            Lb=Lb, L=L, a=a, n_t=n_t, n_b=B,
+            _rb_kernel, mode=mode, J=J, Hl=Hl, Hr=Hr, TILE=tile, Lb=Lb, L=L
         ),
         grid=(B, n_t),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, L), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, L), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -242,13 +196,37 @@ def _rb_pass(xp, ledge, tailbuf, w1, w2, ws, bias, aff,
         ],
         out_specs=out_spec,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2, Wd, L), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=interpret,
-    )(xp, ledge, tb, w1, w2, ws, bias, aff)
-    return out
+    )(xp, hal, w1, w2, ws, bias, aff)
+
+
+def _build_halo(xp, lp, rp, tile, Hl, Hr):
+    """(B, n_t, 8, L) side input: per tile, rows 0:Hl = x rows just before the
+    tile (tile 0: the global left-pad values), rows Hl:Hl+Hr = x rows just
+    after (last tile: the global right-pad values). Tiny gather in XLA."""
+    B, Tp, L = xp.shape
+    n_t = Tp // tile
+    pieces = []
+    if Hl > 0:
+        idx = (
+            jnp.arange(n_t)[:, None] * tile - Hl + jnp.arange(Hl)[None, :]
+        )  # (n_t, Hl); negative only at t=0
+        left = jnp.take(xp, jnp.clip(idx, 0, Tp - 1).reshape(-1), axis=1)
+        left = left.reshape(B, n_t, Hl, L)
+        left = left.at[:, 0].set(lp[:, :Hl])
+        pieces.append(left)
+    if Hr > 0:
+        idx = (
+            (jnp.arange(n_t)[:, None] + 1) * tile + jnp.arange(Hr)[None, :]
+        )  # (n_t, Hr); out of range only at t=n_t-1
+        rgt = jnp.take(xp, jnp.clip(idx, 0, Tp - 1).reshape(-1), axis=1)
+        rgt = rgt.reshape(B, n_t, Hr, L)
+        rgt = rgt.at[:, n_t - 1].set(rp[:, :Hr])
+        pieces.append(rgt)
+    pad = 8 - (Hl + Hr)
+    if pad > 0 or not pieces:
+        pieces.append(jnp.zeros((B, n_t, 8 - (Hl + Hr), L), xp.dtype))
+    return jnp.concatenate(pieces, axis=2)
 
 
 def _finalize_affine(s, sq, n_elems, gamma, beta, f, eps=1e-5):
@@ -265,19 +243,31 @@ def _finalize_affine(s, sq, n_elems, gamma, beta, f, eps=1e-5):
 
 
 def fused_resblock_tgn(
-    x: jnp.ndarray,   # (B, T, C)
+    x: jnp.ndarray,   # (B, T, C), or (B, T/f, 128) when packed_f=f is given
     p1, p2, ps,       # conv param dicts {kernel, bias, norm_scale, norm_bias}
     spec1, spec2, spec_s,  # ConvSpec for conv1 (k,d), conv2 (1x1), shortcut (1x1)
     tile: Optional[int] = None,
     interpret: Optional[bool] = None,
+    packed_f: Optional[int] = None,
 ) -> Optional[jnp.ndarray]:
     """Fused [ELU->conv(k,d)->tgn->ELU->conv(1)->tgn] + [1x1 shortcut->tgn] add.
 
     Returns (B, T, C), or None when the shapes/specs don't qualify (caller
     falls back to the XLA path). Differentiable: backward replays the exact
     XLA composition via jax.vjp (the fused path is a forward optimization).
+
+    With `packed_f`, x is ALREADY the packed (B, T/f, f*C=128) view
+    (ops/packed.py narrow-stage execution) and the result stays packed — no
+    boundary relayout is paid.
     """
-    B, T, C = x.shape
+    if packed_f is not None:
+        B, Tp_in, L_in = x.shape
+        C = spec1.in_channels
+        if packed_f * C != L_in:
+            return None
+        T = Tp_in * packed_f
+    else:
+        B, T, C = x.shape
     if spec1.ndim != 1 or spec2.ndim != 1 or spec_s.ndim != 1:
         return None
     for sp in (spec1, spec2, spec_s):
@@ -303,6 +293,8 @@ def fused_resblock_tgn(
         f, L = 128 // C, 128
     else:
         return None
+    if packed_f is not None and packed_f != f:
+        return None
     if T % f != 0 or (H * f) % 8 != 0:
         return None
     Lb = H * f
@@ -317,12 +309,13 @@ def fused_resblock_tgn(
         return None
     af = (-left_o) % f
     J = (af + span - 2 + f) // f + 1
-    left = (left_o + af) // f
-    right = (J - 1) - left
+    Hl = (left_o + af) // f
+    Hr = (J - 1) - Hl
+    if Hl + Hr > 8:  # halo block carries up to 8 rows
+        return None
 
-    want = tile if tile is not None else max(512, (1 << 20) // (L * x.dtype.itemsize) // 8 * 8)
-    tile_s = pick_tile(Tp, J, 1, right, want)
-    if tile_s is None:
+    tile_s = tile if tile is not None else _pick_even_tile(Tp)
+    if tile_s is None or Tp % tile_s != 0 or tile_s < max(Hl, Hr, 8):
         return None
     if interpret is None:
         interpret = INTERPRET
@@ -333,10 +326,12 @@ def fused_resblock_tgn(
         """Exact unfused composition — backward path and numerics oracle."""
         from funcodec_tpu.ops.conv import apply_sconv1d
 
-        h = apply_sconv1d(spec1, p1_, _elu(x_).astype(x_.dtype))
+        xo = x_.reshape(B, T, C) if packed_f is not None else x_
+        h = apply_sconv1d(spec1, p1_, _elu(xo).astype(xo.dtype))
         c = apply_sconv1d(spec2, p2_, _elu(h).astype(h.dtype))
-        s = apply_sconv1d(spec_s, ps_, x_)
-        return c + s
+        s = apply_sconv1d(spec_s, ps_, xo)
+        out = c + s
+        return out.reshape(x_.shape) if packed_f is not None else out
 
     def forward(x_, p1_, p2_, ps_):
         w1 = fused_kernel(p1_).astype(x.dtype)   # (K, C, H)
@@ -361,31 +356,36 @@ def fused_resblock_tgn(
             axis=0,
         )  # (8, L)
 
-        # packed edge rows for conv1 (conv_pallas.fused_conv1d_s1 packed branch)
-        ledge_o, redge_o = _edge_buffers(x_, left_o, right_o, spec1.pad_mode)
-        if left_o > 0:
+        # packed global pad rows for conv1 (edge VALUES recovered from the
+        # packed view itself — works for f == 1 too)
+        from funcodec_tpu.ops.packed import packed_edge_values
+
+        ledge_o, redge_o = packed_edge_values(
+            xp, f, C, T, left_o, right_o, spec1.pad_mode
+        )
+        if Hl > 0:
             zl = jnp.zeros((B, af, C), x_.dtype)
             lp = jnp.concatenate([zl, ledge_o[:, :left_o]], axis=1)
-            lp = lp.reshape(B, max(left, 1), L) if left > 0 else xp[:, :1]
+            lp = lp.reshape(B, Hl, L)
         else:
             lp = xp[:, :1]
-        if right > 0:
-            zr = jnp.zeros((B, right * f - right_o, C), x_.dtype)
+        if Hr > 0:
+            zr = jnp.zeros((B, Hr * f - right_o, C), x_.dtype)
             rp = (
                 jnp.concatenate([redge_o[:, :right_o], zr], axis=1)
                 if right_o > 0
                 else zr
             )
-            rp = rp.reshape(B, right, L)
+            rp = rp.reshape(B, Hr, L)
         else:
             rp = xp[:, :1]
+        hal = _build_halo(xp, lp, rp, tile_s, Hl, Hr)
 
         zaff = jnp.zeros((B, 8, L), jnp.float32)
         run = functools.partial(
             _rb_pass,
-            xp, lp, rp, w1p, w2p, wsp, bias,
-            J=J, left=left, right=right, tile=tile_s, Lb=Lb,
-            interpret=interpret,
+            xp, hal, w1p, w2p, wsp, bias,
+            J=J, Hl=Hl, Hr=Hr, tile=tile_s, Lb=Lb, interpret=interpret,
         )
 
         pA = run(zaff, mode=0)  # (B, n_t, 8, 128)
@@ -406,8 +406,8 @@ def fused_resblock_tgn(
         )
         aff = aff.at[:, 2, :].set(A2).at[:, 3, :].set(D2)
 
-        out = run(aff, mode=2)  # (B, n_t*tile, L)
-        return out[:, :Tp].reshape(B, T, C)
+        out = run(aff, mode=2)  # (B, Tp, L)
+        return out if packed_f is not None else out.reshape(B, T, C)
 
     @jax.custom_vjp
     def fused_fn(x_, p1_, p2_, ps_):

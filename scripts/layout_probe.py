@@ -39,17 +39,23 @@ def main():
     add1 = jax.jit(lambda v: v + 1.0)
     dt = timeit(add1, x)
     print(f"elementwise (B,T,32) bf16: {dt*1e3:.2f} ms -> "
-          f"{2*gb/dt:.0f} GB/s logical ({200*gb/dt/PEAK_GBS:.0f}% of peak r+w)")
+          f"{2*gb/dt:.0f} GB/s logical ({200*gb/dt/PEAK_GBS:.0f}% of peak r+w)",
+          flush=True)
 
     resh = jax.jit(lambda v: v.reshape(B, T // 4, C * 4) * 1.0)
     dt2 = timeit(resh, x)
-    print(f"reshape->(*,T/4,128) + mul: {dt2*1e3:.2f} ms (vs {dt*1e3:.2f} elementwise)")
+    print(f"reshape->(*,T/4,128) + mul: {dt2*1e3:.2f} ms (vs {dt*1e3:.2f} elementwise)",
+          flush=True)
 
     resh2 = jax.jit(lambda v: jnp.sum(v.reshape(B, T // 4, C * 4), axis=(1, 2)))
     dt3 = timeit(resh2, x)
     red = jax.jit(lambda v: jnp.sum(v, axis=(1, 2)))
     dt4 = timeit(red, x)
-    print(f"reshape+reduce: {dt3*1e3:.2f} ms | plain reduce: {dt4*1e3:.2f} ms")
+    print(f"reshape+reduce: {dt3*1e3:.2f} ms | plain reduce: {dt4*1e3:.2f} ms",
+          flush=True)
+
+    if os.environ.get("PROBE_SKIP_RESBLOCK"):
+        return
 
     # XLA resblock per stage shape (the Pallas target baseline)
     from funcodec_tpu.ops.conv import ConvSpec, init_conv, apply_conv
@@ -79,8 +85,29 @@ def main():
         dt = timeit(resblock, xs)
         g = B * Ts * Cs * 2 / 1e9
         print(f"XLA resblock T={Ts} C={Cs}: {dt*1e3:.2f} ms "
-              f"(tensor {g:.2f} GB; 4-pass ideal {4*g/PEAK_GBS*1e3:.2f} ms)")
+              f"(tensor {g:.2f} GB; 4-pass ideal {4*g/PEAK_GBS*1e3:.2f} ms)",
+              flush=True)
+
+
+def packed_vs_narrow():
+    """Confirm lane padding: same logical bytes, full vs quarter lanes."""
+    import jax
+    import jax.numpy as jnp
+
+    B = 256
+    xn = jnp.asarray(np.random.RandomState(0).randn(B, 160_000, 32), jnp.bfloat16)
+    xp = jnp.asarray(np.random.RandomState(0).randn(B, 40_000, 128), jnp.bfloat16)
+    add1 = jax.jit(lambda v: v + 1.0)
+    dtn = timeit(add1, xn)
+    dtp = timeit(add1, xp)
+    gb = B * 160_000 * 32 * 2 / 1e9
+    print(f"elementwise narrow (T,32): {dtn*1e3:.2f} ms ({2*gb/dtn:.0f} GB/s) | "
+          f"packed (T/4,128): {dtp*1e3:.2f} ms ({2*gb/dtp:.0f} GB/s) | "
+          f"ratio {dtn/dtp:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "packed":
+        packed_vs_narrow()
+    else:
+        main()

@@ -54,7 +54,7 @@ def _run_case(C, T, B=2, K=3, dil=1, causal=False, pad_mode="reflect",
 
 
 def test_direct_c128():
-    _run_case(C=128, T=200)
+    _run_case(C=128, T=192)
 
 
 def test_packed_c32():
@@ -67,16 +67,26 @@ def test_packed_c64():
 
 @pytest.mark.parametrize("causal", [True, False])
 def test_causal(causal):
-    _run_case(C=128, T=160, causal=causal)
+    _run_case(C=128, T=160, causal=causal, tile=None)
 
 
 def test_dilated():
-    _run_case(C=128, T=300, dil=2)
+    _run_case(C=128, T=320, dil=2)
 
 
-@pytest.mark.parametrize("T", [192, 200, 250])
-def test_ragged_tiles(T):
-    _run_case(C=128, T=T, tile=64)
+def test_even_tiles():
+    _run_case(C=128, T=192, tile=64)
+
+
+def test_single_tile_fallback_length():
+    # Tp with no mult-of-8 divisor >= 256 still runs as one tile
+    _run_case(C=128, T=200, tile=None)
+
+
+def test_non_mult8_length_falls_back():
+    params, specs = _make_block(128)
+    x = jnp.zeros((1, 250, 128))
+    assert fused_resblock_tgn(x, *params, *specs, interpret=True) is None
 
 
 def test_fallback_on_weight_norm():
