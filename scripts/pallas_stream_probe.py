@@ -36,17 +36,17 @@ def log(msg):
         f.write(line + "\n")
 
 
-def timeit_amortized(make_loop, n_reps, warmup=2, iters=4):
-    """make_loop(n) -> jitted fn(x) running the op n times chained."""
-    import jax.numpy as jnp
-
+def timeit_amortized(make_loop, n_reps, x, warmup=2, iters=4):
+    """make_loop(n) -> jitted fn(x) running the op n times chained.
+    x is a traced ARGUMENT (a closure capture would be burned into the
+    executable as a multi-GB constant)."""
     fn = make_loop(n_reps)
     for _ in range(warmup):
-        float(fn())
+        float(fn(x))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(fn())
+        float(fn(x))
         best = min(best, time.perf_counter() - t0)
     return best / n_reps
 
@@ -64,13 +64,13 @@ def elementwise():
 
         def make_loop(n):
             @jax.jit
-            def f():
+            def f(v):
                 y = lax.fori_loop(
-                    0, n, lambda i, a: a * 1.0001 + 0.001, x)
+                    0, n, lambda i, a: a * 1.0001 + 0.001, v)
                 return jnp.sum(y[:, ::513, 0].astype(jnp.float32))
             return f
 
-        dt = timeit_amortized(make_loop, 24)
+        dt = timeit_amortized(make_loop, 24, x)
         log(f"elementwise {name}: {dt*1e3:.2f} ms/op -> {2*gb/dt:.0f} GB/s r+w")
 
 
@@ -99,14 +99,14 @@ def pallas_copy():
             out_shape=jax.ShapeDtypeStruct((B, Tp, L), x.dtype),
         )
 
-        def make_loop(n):
+        def make_loop(n, call=call):
             @jax.jit
-            def f():
-                y = lax.fori_loop(0, n, lambda i, a: call(a), x)
+            def f(v):
+                y = lax.fori_loop(0, n, lambda i, a: call(a), v)
                 return jnp.sum(y[:, ::513, 0].astype(jnp.float32))
             return f
 
-        dt = timeit_amortized(make_loop, 16)
+        dt = timeit_amortized(make_loop, 16, x)
         steps = B * (Tp // tile)
         log(f"pallas copy tile={tile}: {dt*1e3:.2f} ms/op -> "
             f"{2*gb/dt:.0f} GB/s r+w | {dt/steps*1e6:.2f} us/step")
@@ -161,14 +161,14 @@ def resblock_stages():
                     ("xla-packed", rb_packed_xla, xp0),
                     ("pallas-packed", rb_pallas, xp0)]
         for name, fn, xin in variants:
-            def make_loop(n, fn=fn, xin=xin):
+            def make_loop(n, fn=fn):
                 @jax.jit
-                def g():
-                    y = lax.fori_loop(0, n, lambda i, a: fn(a), xin)
+                def g(v):
+                    y = lax.fori_loop(0, n, lambda i, a: fn(a), v)
                     return jnp.sum(y[:, ::513, 0].astype(jnp.float32))
                 return g
 
-            dt = timeit_amortized(make_loop, 8)
+            dt = timeit_amortized(make_loop, 8, xin)
             log(f"resblock T={Ts} C={Cs} [{name}]: {dt*1e3:.2f} ms/op | "
                 f"4-pass-equiv BW {4*gb/dt:.0f} GB/s")
 
