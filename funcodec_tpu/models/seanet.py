@@ -319,10 +319,22 @@ def _try_fused_resblock(spec, p, x, packed_f=None):
     Qualifies when the block is the canonical [ELU, conv(k,d), ELU, conv(1)]
     with a 1x1 shortcut and time_group_norm everywhere (every shipped EnCodec
     config). Returns the fused output or None (caller keeps the XLA path).
+
+    Channel gate (dispatch-amortized v5e A/B, scripts/pallas_stream_probe.py
+    r2): at C>=128 lanes the fused kernel beats the XLA resblock ~1.11x
+    ISOLATED (28.9 vs 32.2 ms at B=256,T=20k,C=128); at narrow stages
+    (C=32/64, packed or not) XLA wins because the kernel's pack relayouts
+    cost more than the saved passes (61.4/69.3 vs 52.7 ms at T=160k,C=32).
+    So the peephole only fires on natively wide blocks: C>=128, no packing.
+    Even so, e2e the flag is a net loss (scripts/encoder_variants_ab.py:
+    448 vs 416 ms) — the custom call breaks XLA fusion with neighboring
+    ops — hence PALLAS_RESBLOCK defaults off; see ops/conv.py.
     """
     from funcodec_tpu.ops import conv as conv_ops
 
     if not conv_ops.PALLAS_RESBLOCK or x.ndim != 3:
+        return None
+    if packed_f not in (None, 1) or x.shape[-1] < 128:
         return None
     block, shortcut = spec
     if shortcut is None or len(block) != 4:

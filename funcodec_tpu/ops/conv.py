@@ -54,10 +54,22 @@ PALLAS_STRIDE1 = False
 
 # Whole-resblock fused Pallas kernel (ops/resblock_pallas.py): 3 streaming
 # passes replace the ~15 HBM tensor passes of the unfused ELU/conv/tgn chain.
+# Round-2 verdict (dispatch-amortized v5e A/B, scripts/pallas_stream_probe.py
+# + scripts/encoder_variants_ab.py): the kernel wins ISOLATED at C>=128
+# (28.9 vs 32.2 ms) and loses at narrow stages; but end-to-end even the
+# C>=128-gated version is a net loss (448 vs 416 ms e2e) because the custom
+# call breaks XLA's fusion across the resblock boundary (neighboring
+# downsample convs / ELUs stop fusing). Default OFF; measured dead-end kept
+# for the record.
 PALLAS_RESBLOCK = False
 
 # Packed narrow-stage execution (ops/packed.py): run C<128 encoder sections
 # in a (B, T/f, f*C=128) view so XLA's lane padding never inflates traffic.
+# Round-2 verdict: the premise was false — dispatch-amortized probes show
+# narrow (T,32) elementwise already streams at 531 GB/s vs 544 packed (the
+# earlier "4x traffic" reading was the ~38 ms axon dispatch floor, not lane
+# padding), and the pack relayouts make every variant slower e2e
+# (packed 436 ms / packed+pallas 492 ms vs 416 ms base). Default OFF.
 PACKED_NARROW = False
 
 

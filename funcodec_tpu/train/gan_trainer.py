@@ -166,13 +166,18 @@ class GANCodecTrainer:
     def _get_train_step(self):
         if self._jit_train_step is None:
             rep, data_sh = self._shardings()
+            # donate the state: params/opt-state/RVQ buffers update in place
+            # instead of allocating a second copy every step
             if rep is None:
-                self._jit_train_step = jax.jit(self._train_step)
+                self._jit_train_step = jax.jit(
+                    self._train_step, donate_argnums=(0,)
+                )
             else:
                 self._jit_train_step = jax.jit(
                     self._train_step,
                     in_shardings=(rep, {"speech": data_sh}, rep),
                     out_shardings=(rep, rep),
+                    donate_argnums=(0,),
                 )
         return self._jit_train_step
 

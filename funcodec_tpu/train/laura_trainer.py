@@ -152,8 +152,10 @@ class LauraTrainer:
                     stats,
                 )
 
+            # donate the state: params/opt-state update in place instead of
+            # allocating a second copy every step
             if self.mesh is None:
-                self._jit_step = jax.jit(step)
+                self._jit_step = jax.jit(step, donate_argnums=(0,))
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -168,6 +170,7 @@ class LauraTrainer:
                         rep,
                     ),
                     out_shardings=(rep, rep),
+                    donate_argnums=(0,),
                 )
         return self._jit_step
 
