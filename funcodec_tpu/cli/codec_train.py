@@ -81,6 +81,10 @@ def main(argv=None):
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of a few compiled "
                              "steps into this directory (utils/profiling.py)")
+    parser.add_argument("--train_dtype", type=str, default=None,
+                        choices=["float32", "bfloat16", "bf16"],
+                        help="bfloat16 = mixed-precision training: fp32 master "
+                             "params, bf16 forward/backward (train/step.py)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -136,6 +140,9 @@ def main(argv=None):
         batch_bins=config.get("batch_bins", 4_000_000),
         train_shape_file=args.train_shape_file or config.get("train_shape_file"),
         profile_dir=args.profile_dir,
+        # "bfloat16" = mixed-precision training (fp32 masters, bf16 compute);
+        # the reference's train_dtype/AMP knob (abs_task.py --train_dtype)
+        train_dtype=args.train_dtype or config.get("train_dtype", "float32"),
     )
 
     out = Path(args.output_dir)

@@ -68,6 +68,10 @@ def main(argv=None):
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of a few compiled "
                              "steps into this directory (utils/profiling.py)")
+    parser.add_argument("--train_dtype", type=str, default=None,
+                        choices=["float32", "bfloat16", "bf16"],
+                        help="bfloat16 = mixed-precision training: fp32 master "
+                             "params, bf16 forward/backward (train/step.py)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -124,6 +128,7 @@ def main(argv=None):
         num_workers=config.get("num_workers", 8),
         accum_grad=config.get("accum_grad", 1),
         profile_dir=args.profile_dir,
+        train_dtype=args.train_dtype or config.get("train_dtype", "float32"),
     )
     trainer = LauraTrainer(model, options)
     state = trainer.init_state(jax.random.PRNGKey(options.seed))

@@ -57,7 +57,10 @@ def ragged_concat(
     """Per-row concat of variable-length segments into (B, total_max, D)."""
     B = segments[0].shape[0]
     D = segments[0].shape[-1]
-    out = jnp.zeros((B, total_max + 1, D), segments[0].dtype)
+    # segments may mix dtypes under bf16 mixed precision (cast activations
+    # vs fp32 embeddings): scatter into the promoted dtype
+    dtype = jnp.result_type(*(s.dtype for s in segments))
+    out = jnp.zeros((B, total_max + 1, D), dtype)
     offset = jnp.zeros((B,), jnp.int32)
     b_idx = jnp.arange(B)[:, None]
     for seg, ln in zip(segments, lengths):
@@ -65,7 +68,9 @@ def ragged_concat(
         j = jnp.arange(Li)[None, :]  # (1, Li)
         valid = j < ln[:, None]
         dest = jnp.where(valid, offset[:, None] + j, total_max)
-        out = out.at[b_idx, dest].add(jnp.where(valid[..., None], seg, 0.0))
+        out = out.at[b_idx, dest].add(
+            jnp.where(valid[..., None], seg.astype(dtype), 0.0)
+        )
         offset = offset + ln.astype(jnp.int32)
     return out[:, :total_max]
 

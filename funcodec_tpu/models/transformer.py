@@ -65,6 +65,12 @@ def _apply_ln(p, x, eps=1e-12):
     return ((x32 - mean) * lax.rsqrt(var + eps) * p["scale"] + p["bias"]).astype(x.dtype)
 
 
+def _softmax32(scores):
+    """Attention softmax as an fp32 island: under bf16 mixed-precision
+    training the exp/sum must not accumulate in bf16."""
+    return jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+
+
 def _xavier_uniform(key, shape):
     fan_in, fan_out = shape[-1], shape[-2] if len(shape) >= 2 else shape[-1]
     a = math.sqrt(6.0 / (fan_in + fan_out))
@@ -190,10 +196,10 @@ def apply_mha(
     if mask is not None:
         m = mask[:, None]  # (B,1,Tq|1,Tk)
         scores = jnp.where(m, scores, NEG_INF)
-        attn = jax.nn.softmax(scores, axis=-1)
+        attn = _softmax32(scores)
         attn = jnp.where(m, attn, 0.0)
     else:
-        attn = jax.nn.softmax(scores, axis=-1)
+        attn = _softmax32(scores)
 
     ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
     ctx = ctx.reshape(ctx.shape[0], ctx.shape[1], d)
@@ -524,7 +530,7 @@ def apply_encoder_step(
             scores = jnp.einsum("bnhd,bmhd->bhnm", q, k_cache) / math.sqrt(d_k)
 
         scores = jnp.where(visible[:, None], scores, NEG_INF)
-        attn = jax.nn.softmax(scores, axis=-1)
+        attn = _softmax32(scores)
         attn = jnp.where(visible[:, None], attn, 0.0)
         ctx = jnp.einsum("bhnm,bmhd->bnhd", attn, v_cache).reshape(b, n_new, d)
         x = residual + _apply_linear(ap["out"], ctx)

@@ -97,6 +97,11 @@ class TrainerOptions:
     profile_dir: Optional[str] = None
     profile_start_step: int = 10
     profile_num_steps: int = 5
+    # "float32" (reference parity) or "bfloat16": mixed-precision training —
+    # fp32 master params/Adam moments, bf16 forward/backward (train/step.py
+    # compute_dtype; the TPU equivalent of the reference's AMP GradScaler,
+    # trainer.py:213-227, minus the loss scaling bf16 doesn't need)
+    train_dtype: str = "float32"
 
 
 class GANCodecTrainer:
@@ -140,6 +145,9 @@ class GANCodecTrainer:
             model, discriminator, self.optimizer_g, self.optimizer_d,
             gen_train_interval=o.gen_train_interval,
             disc_train_interval=o.disc_train_interval,
+            compute_dtype=(
+                jnp.bfloat16 if o.train_dtype in ("bfloat16", "bf16") else None
+            ),
         )
         self._jit_train_step = None
         self._jit_valid_step = None

@@ -31,7 +31,11 @@ from funcodec_tpu.train.checkpoint import (
 )
 from funcodec_tpu.train.reporter import Reporter
 from funcodec_tpu.train.schedulers import build_scheduler
-from funcodec_tpu.train.step import apply_updates_if_finite, make_optimizer
+from funcodec_tpu.train.step import (
+    apply_updates_if_finite,
+    cast_floating,
+    make_optimizer,
+)
 
 
 @struct.dataclass
@@ -85,6 +89,8 @@ class LauraTrainerOptions:
     profile_dir: Optional[str] = None
     profile_start_step: int = 10
     profile_num_steps: int = 5
+    # "float32" or "bfloat16" mixed precision (see GAN TrainerOptions)
+    train_dtype: str = "float32"
 
 
 class LauraTrainer:
@@ -120,12 +126,18 @@ class LauraTrainer:
         if self._jit_step is None:
             model, optimizer = self.model, self.optimizer
 
+            compute_dtype = (
+                jnp.bfloat16
+                if self.opt.train_dtype in ("bfloat16", "bf16")
+                else None
+            )
+
             def step(state: TrainState, batch, rng):
                 key = jax.random.fold_in(rng, state.step)
 
                 def loss_fn(params):
                     return model.forward(
-                        params,
+                        cast_floating(params, compute_dtype),
                         batch["text"], batch["text_lengths"],
                         batch["codec"], batch["codec_lengths"],
                         key,

@@ -131,6 +131,18 @@ def tree_where(pred, on_true, on_false):
     )
 
 
+def cast_floating(tree, dtype):
+    """Cast float32 leaves to `dtype` (ints/bools and fp64 untouched)."""
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        tree,
+    )
+
+
 def make_gan_train_step(
     model,
     discriminator,
@@ -139,14 +151,31 @@ def make_gan_train_step(
     gen_train_interval: int = 1,
     disc_train_interval: int = 1,
     precision=None,
+    compute_dtype=None,
 ):
-    """Build the jittable GAN step. `model` is Encodec (or FreqCodec)."""
+    """Build the jittable GAN step. `model` is Encodec (or FreqCodec).
+
+    `compute_dtype=jnp.bfloat16` enables mixed-precision training: master
+    params (and Adam moments) stay fp32 in the train state, but the forward/
+    backward runs on bf16-cast params and input, halving the HBM traffic the
+    conv stacks are bound by. Loss reductions, STFT/mel losses, norm stats
+    and the RVQ distance/EMA math are fp32 islands inside the model already
+    (encodec.py, ops/stft.py, quant/rvq.py x32 casts), and bf16 shares
+    fp32's exponent range, so no loss scaling is needed — gradients flow
+    back through the cast and arrive fp32 at the optimizer. The reference
+    trains fp32 with optional AMP GradScaler (trainer.py:213-227); this is
+    the TPU-idiomatic equivalent.
+    """
 
     def disc_turn(state: GANTrainState, speech, key):
+        c_speech = cast_floating(speech, compute_dtype)
+        c_gen_params = cast_floating(state.params, compute_dtype)
+
         def loss_fn(disc_params):
             return model.forward_discriminator(
-                state.params, disc_params, discriminator, state.rvq_state,
-                speech, key, state.gen_loss_carry, precision=precision,
+                c_gen_params, cast_floating(disc_params, compute_dtype),
+                discriminator, state.rvq_state,
+                c_speech, key, state.gen_loss_carry, precision=precision,
             )
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -170,10 +199,14 @@ def make_gan_train_step(
         return state, stats
 
     def gen_turn(state: GANTrainState, speech, key):
+        c_speech = cast_floating(speech, compute_dtype)
+        c_disc_params = cast_floating(state.disc_params, compute_dtype)
+
         def loss_fn(params):
             return model.forward_generator(
-                params, state.disc_params, discriminator, state.rvq_state,
-                speech, key, precision=precision,
+                cast_floating(params, compute_dtype), c_disc_params,
+                discriminator, state.rvq_state,
+                c_speech, key, precision=precision,
             )
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -43,38 +43,45 @@ def main():
     disc_params = disc.init(jax.random.PRNGKey(1))
     opt_g = make_optimizer(lr=3e-4, betas=(0.5, 0.9))
     opt_d = make_optimizer(lr=3e-4, betas=(0.5, 0.9))
-    step = jax.jit(make_gan_train_step(model, disc, opt_g, opt_d))
 
     T = 40960  # speech_max_length
     results = {}
-    for B in (16, 64, 128):
-        state = create_gan_train_state(params, disc_params, rvq_state, opt_g, opt_d)
-        speech = jnp.asarray(
-            np.random.RandomState(0).randn(B, T).astype(np.float32) * 0.1
+    for tag, compute_dtype in (("fp32", None), ("bf16", jnp.bfloat16)):
+        step = jax.jit(
+            make_gan_train_step(
+                model, disc, opt_g, opt_d, compute_dtype=compute_dtype
+            )
         )
-        rng = jax.random.PRNGKey(7)
-        try:
-            t0 = time.perf_counter()
-            state, stats = step(state, {"speech": speech}, rng)
-            float(stats["generator_loss"])
-            warm = time.perf_counter() - t0
-            n = 5
-            t0 = time.perf_counter()
-            for _ in range(n):
+        for B in (16, 32, 64):
+            state = create_gan_train_state(
+                params, disc_params, rvq_state, opt_g, opt_d
+            )
+            speech = jnp.asarray(
+                np.random.RandomState(0).randn(B, T).astype(np.float32) * 0.1
+            )
+            rng = jax.random.PRNGKey(7)
+            try:
+                t0 = time.perf_counter()
                 state, stats = step(state, {"speech": speech}, rng)
-            float(stats["generator_loss"])
-            dt = (time.perf_counter() - t0) / n
-        except Exception as e:
-            log(f"B={B}: FAILED {type(e).__name__}: {str(e)[:200]}")
-            continue
-        audio_s = B * T / 16000
-        log(
-            f"B={B}: {dt*1e3:.0f} ms/step (warmup {warm:.0f}s) -> "
-            f"{1/dt:.2f} steps/s, {audio_s/dt:.0f} audio_s/s trained, "
-            f"gen_loss={float(stats['generator_loss']):.3f}"
-        )
-        results[f"b{B}_steps_per_s"] = 1 / dt
-        results[f"b{B}_audio_s_per_s"] = audio_s / dt
+                float(stats["generator_loss"])
+                warm = time.perf_counter() - t0
+                n = 5
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    state, stats = step(state, {"speech": speech}, rng)
+                float(stats["generator_loss"])
+                dt = (time.perf_counter() - t0) / n
+            except Exception as e:
+                log(f"{tag} B={B}: FAILED {type(e).__name__}: {str(e)[:200]}")
+                continue
+            audio_s = B * T / 16000
+            log(
+                f"{tag} B={B}: {dt*1e3:.0f} ms/step (warmup {warm:.0f}s) -> "
+                f"{1/dt:.2f} steps/s, {audio_s/dt:.0f} audio_s/s trained, "
+                f"gen_loss={float(stats['generator_loss']):.3f}"
+            )
+            results[f"{tag}_b{B}_steps_per_s"] = 1 / dt
+            results[f"{tag}_b{B}_audio_s_per_s"] = audio_s / dt
 
     with open("/tmp/bench_train.json", "w") as f:
         json.dump(results, f, indent=2)
