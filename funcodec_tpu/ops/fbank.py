@@ -20,6 +20,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_basis_np(frame_len: int, n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real-DFT basis (frame_len, n_fft//2+1) for right-zero-padded frames;
+    numpy so the cache never holds traced/device arrays."""
+    n = np.arange(frame_len, dtype=np.float64)
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)
+    ang = -2.0 * np.pi * np.outer(n, k) / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
 def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
@@ -86,8 +96,14 @@ def fbank(
         rest = frames[..., 1:] - preemphasis * frames[..., :-1]
         frames = jnp.concatenate([first, rest], axis=-1)
     frames = frames * jnp.asarray(_povey_window(frame_len))
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    # right-zero-padded real DFT as two MXU matmuls instead of jnp.fft.rfft
+    # (XLA lowers FFT poorly on TPU; see ops/stft.py:_windowed_dft_basis)
+    cos_b, sin_b = _dft_basis_np(frame_len, n_fft)
+    re = jnp.matmul(frames, jnp.asarray(cos_b),
+                    precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, jnp.asarray(sin_b),
+                    precision=jax.lax.Precision.HIGHEST)
+    power = re**2 + im**2
     banks = jnp.asarray(kaldi_mel_banks(num_mel_bins, n_fft, sample_rate))
     mel = jnp.einsum("mf,btf->btm", banks, power)
     if use_log_fbank:

