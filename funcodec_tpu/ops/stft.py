@@ -115,6 +115,44 @@ def stft(
     return jnp.swapaxes(spec, -1, -2)  # (..., F, n_frames)
 
 
+@functools.lru_cache(maxsize=64)
+def _ola_envelope(
+    win_length: int, n_fft: int, hop_length: int, n_frames: int
+) -> np.ndarray:
+    """Summed squared-window envelope for istft normalization (numpy — it
+    depends only on shapes, so it's a compile-time constant)."""
+    p0 = (n_fft - win_length) // 2
+    m = np.arange(win_length, dtype=np.float64)
+    w2 = (0.5 * (1.0 - np.cos(2.0 * np.pi * m / win_length))) ** 2
+    total = n_fft + hop_length * (n_frames - 1)
+    env = np.zeros((total,), np.float64)
+    pos = np.arange(n_frames)[:, None] * hop_length + np.arange(win_length) + p0
+    np.add.at(env, pos, np.broadcast_to(w2, (n_frames, win_length)))
+    return env.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _inverse_dft_basis(win_length: int, n_fft: int):
+    """Inverse real-DFT basis (n_fft//2+1, win_length), window NOT folded in.
+
+    irfft(X)[n] = (1/N) * sum_k c_k (Re X[k] cos(2pi k n/N) - Im X[k]
+    sin(2pi k n/N)), c_k = 2 except 1 at k=0 and k=N/2. Only the window's
+    span n in [p0, p0+win) survives the windowing, so the basis covers just
+    those columns. Numpy (device caching would leak tracers).
+    """
+    p0 = (n_fft - win_length) // 2
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)
+    c = np.full_like(k, 2.0)
+    c[0] = 1.0
+    if n_fft % 2 == 0:
+        c[-1] = 1.0
+    n = np.arange(win_length, dtype=np.float64) + p0
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft
+    inv_cos = (c[:, None] * np.cos(ang) / n_fft).astype(np.float32)
+    inv_sin = (-c[:, None] * np.sin(ang) / n_fft).astype(np.float32)
+    return inv_cos, inv_sin
+
+
 def istft(
     spec: jnp.ndarray,
     n_fft: int,
@@ -126,25 +164,49 @@ def istft(
     """Inverse STFT of (..., F, n_frames) -> (..., T).
 
     Matches torch.istft / torchaudio InverseSpectrogram: windowed overlap-add
-    normalized by the summed squared window envelope.
+    normalized by the summed squared window envelope. The inverse DFT is two
+    MXU matmuls over the window's span (see _inverse_dft_basis) instead of
+    jnp.fft.irfft, which XLA lowers poorly on TPU and which crashed the
+    remote compile helper at serving batch sizes.
     """
     win_length = win_length or n_fft
-    window = _padded_window(win_length, n_fft, jnp.float32)
-    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
-    frames = frames * window  # (..., n_frames, n_fft)
+    p0 = (n_fft - win_length) // 2
+    window = hann_window(win_length, jnp.float32)
+    sp = jnp.swapaxes(spec, -1, -2)  # (..., n_frames, F)
+    inv_cos_np, inv_sin_np = _inverse_dft_basis(win_length, n_fft)
+    frames = (
+        jnp.matmul(jnp.real(sp).astype(jnp.float32), jnp.asarray(inv_cos_np),
+                   precision=jax.lax.Precision.HIGHEST)
+        + jnp.matmul(jnp.imag(sp).astype(jnp.float32), jnp.asarray(inv_sin_np),
+                     precision=jax.lax.Precision.HIGHEST)
+    )
+    frames = frames * window  # (..., n_frames, win_length)
 
     n_frames = frames.shape[-2]
     total = n_fft + hop_length * (n_frames - 1)
     batch_shape = frames.shape[:-2]
 
-    flat = frames.reshape((-1, n_frames, n_fft))
-    # parallel overlap-add: one scatter-add over precomputed frame positions
-    positions = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-    out = jnp.zeros((flat.shape[0], total), flat.dtype).at[:, positions].add(flat)
-    env = (
-        jnp.zeros((total,), jnp.float32)
-        .at[positions]
-        .add(jnp.broadcast_to(window**2, (n_frames, n_fft)))
+    flat = frames.reshape((-1, n_frames, win_length))
+    # overlap-add without scatter: split each frame into ceil(win/hop)
+    # hop-wide chunks; chunk j of all frames concatenates into ONE contiguous
+    # segment starting at p0 + j*hop, so the whole OA is a handful of
+    # static-slice adds (XLA pad+add, no serialized scatter — the scatter
+    # form cost 42 ms alone at B=64 on v5e)
+    n_chunks = -(-win_length // hop_length)
+    total_pad = total + hop_length  # room for the zero-padded last chunk
+    out = jnp.zeros((flat.shape[0], total_pad), flat.dtype)
+    for j in range(n_chunks):
+        w = min(hop_length, win_length - j * hop_length)
+        chunk = flat[:, :, j * hop_length : j * hop_length + w]
+        if w < hop_length:
+            chunk = jnp.pad(chunk, ((0, 0), (0, 0), (0, hop_length - w)))
+        seg = chunk.reshape(flat.shape[0], n_frames * hop_length)
+        start = p0 + j * hop_length
+        out = out.at[:, start : start + n_frames * hop_length].add(seg)
+    out = out[:, :total]
+    # the window-squared envelope depends only on shapes: numpy constant
+    env = jnp.asarray(
+        _ola_envelope(win_length, n_fft, hop_length, n_frames)
     )
 
     if center:
