@@ -47,6 +47,11 @@ PALLAS_RVQ = False
 # compile time. Kept as a knob with the honest measurement.
 TRAIN_SCAN_UNROLL = 1
 
+# Testing hook: force the full per-layer scan (kmeans-init-capable "slow"
+# path) even when every codebook is initialized, so tests can assert the
+# fast vectorized-EMA path is equivalent to it.
+FORCE_SLOW_SCAN = False
+
 
 @dataclasses.dataclass(frozen=True)
 class RVQConfig:
@@ -377,52 +382,136 @@ def rvq_train_forward(
     else:
         fresh_idx_all = jnp.zeros((n_scan, bins), jnp.int32)
 
-    def step(residual, xs):
-        layer_id, k, inited_q, cluster_q, embed_q, avg_q, fresh_idx = xs
-        active = layer_id < cutoff
-        quantized, idx, n_inited, n_cluster, n_embed, n_avg = _train_one_quantizer(
-            cfg, residual, inited_q, cluster_q, embed_q, avg_q, active, k,
-            fresh_idx=fresh_idx,
+    # ---- Phase A: per-layer codebook search (serial, gradient-free) -------
+    # The whole layer chain runs under stop_gradient: per the reference's STE
+    # structure only layer 0's commit loss and the summed output's identity
+    # path carry gradients (see docstring), and both are reconstructed
+    # exactly in Phase C below. Two variants behind one runtime cond:
+    #   slow — the full _train_one_quantizer scan (kmeans init mid-chain)
+    #   fast — a 4-kernel scan body (distance, argmax, gather, subtract);
+    #          EMA/expiry happen vectorized over all layers in Phase B,
+    #          which removes ~2/3 of the serial per-layer kernel latency
+    acts = layer_ids[start_layer:] < cutoff  # (n_scan,) monotone
+    act_f = acts.astype(jnp.float32)[:, None, None]
+    flat_sg = lax.stop_gradient(flat)
+    embed_slice = state.embed[start_layer:n_q]
+    cluster_slice = state.cluster_size[start_layer:n_q]
+    avg_slice = state.embed_avg[start_layer:n_q]
+    inited_slice = state.inited[start_layer:n_q]
+
+    def slow_path(_):
+        def step(residual, xs):
+            layer_id, k, inited_q, cluster_q, embed_q, avg_q, fresh_idx = xs
+            active = layer_id < cutoff
+            quantized, idx, n_inited, n_cluster, n_embed, n_avg = (
+                _train_one_quantizer(
+                    cfg, residual, inited_q, cluster_q, embed_q, avg_q,
+                    active, k, fresh_idx=fresh_idx,
+                )
+            )
+            new_residual = residual - quantized * active.astype(residual.dtype)
+            return new_residual, (idx, quantized, n_inited, n_cluster,
+                                  n_embed, n_avg)
+
+        xs = (
+            layer_ids[start_layer:],
+            keys[start_layer:],
+            inited_slice,
+            cluster_slice,
+            embed_slice,
+            avg_slice,
+            fresh_idx_all,
         )
-        # per-layer STE (ddp :312-313): value=q, gradient=identity to residual
-        quant_ste = residual + lax.stop_gradient(quantized - residual)
-        # commit loss vs the layer input (ddp :317-320)
-        diff = lax.stop_gradient(quantized) - residual
-        commit = jnp.mean(diff * diff) * cfg.commitment_weight
-        commit = jnp.where(active, commit, 0.0)
+        _, ys = lax.scan(step, flat_sg, xs, unroll=TRAIN_SCAN_UNROLL)
+        return ys
 
-        act_f = active.astype(residual.dtype)
-        quant_masked = quant_ste * act_f
-        new_residual = residual - quant_masked
+    def fast_path(_):
+        def step(residual, xs):
+            embed_q, act = xs
+            idx = nearest_codebook_indices(residual, embed_q)
+            q = embed_q[idx]
+            return residual - q * act.astype(residual.dtype), (idx, q)
 
-        out_idx = jnp.where(active, idx, -1)
-        out_subq = jnp.where(active, quantized, -1.0)
-        return new_residual, (
-            out_idx,
-            commit,
-            out_subq,
-            quant_masked,
-            n_inited,
-            n_cluster,
-            n_embed,
-            n_avg,
+        _, (idxs, qs) = lax.scan(
+            step, flat_sg, (embed_slice, acts), unroll=TRAIN_SCAN_UNROLL
         )
 
-    xs = (
-        layer_ids[start_layer:],
-        keys[start_layer:],
-        state.inited[start_layer:n_q],
-        state.cluster_size[start_layer:n_q],
-        state.embed[start_layer:n_q],
-        state.embed_avg[start_layer:n_q],
-        fresh_idx_all,
+        # ---- Phase B: EMA + expiry for ALL layers at once ----
+        contrib = qs * act_f
+        r_stack = flat_sg[None] - (jnp.cumsum(contrib, axis=0) - contrib)
+        onehot = jax.nn.one_hot(idxs, bins, dtype=jnp.float32)  # (n, N, bins)
+        r_aug = jnp.concatenate(
+            [r_stack, jnp.ones((n_scan, N, 1), jnp.float32)], axis=-1
+        )
+        # one batched matmul: [..., :D] = per-code sums, [..., D] = counts
+        sums = jnp.einsum("qnb,qnd->qbd", onehot, r_aug)
+        embed_sum, counts = sums[..., :D], sums[..., D]
+
+        decay = cfg.decay
+        new_cluster = cluster_slice * decay + counts * (1.0 - decay)
+        new_avg = avg_slice * decay + embed_sum * (1.0 - decay)
+        total = jnp.sum(new_cluster, axis=-1, keepdims=True)
+        smoothed = (
+            (new_cluster + cfg.epsilon) / (total + bins * cfg.epsilon) * total
+        )
+        new_embed = new_avg / smoothed[..., None]
+        if cfg.expiry_mode == "effective":
+            expired = new_cluster < cfg.threshold_ema_dead_code
+            fresh = jnp.take_along_axis(
+                r_stack, fresh_idx_all[:, :, None], axis=1
+            )
+            new_embed = jnp.where(expired[..., None], fresh, new_embed)
+            new_avg = jnp.where(expired[..., None], fresh, new_avg)
+            new_cluster = jnp.where(
+                expired,
+                jnp.full_like(new_cluster, cfg.threshold_ema_dead_code),
+                new_cluster,
+            )
+        mix2 = lambda new, old: jnp.where(acts[:, None], new, old)
+        mix3 = lambda new, old: jnp.where(acts[:, None, None], new, old)
+        return (
+            idxs,
+            qs,
+            inited_slice,
+            mix2(new_cluster, cluster_slice),
+            mix3(new_embed, embed_slice),
+            mix3(new_avg, avg_slice),
+        )
+
+    # expiry_mode="reference" is the reference's clobbered (inert) expiry —
+    # identical to no expiry, so the fast path covers every mode
+    if FORCE_SLOW_SCAN:
+        idxs, qs, n_inited, n_cluster, n_embed, n_avg = slow_path(None)
+    elif cfg.kmeans_init:
+        all_inited = jnp.all(inited_slice > 0.5)
+        idxs, qs, n_inited, n_cluster, n_embed, n_avg = lax.cond(
+            all_inited, fast_path, slow_path, None
+        )
+    else:
+        idxs, qs, n_inited, n_cluster, n_embed, n_avg = fast_path(None)
+
+    # ---- Phase C: differentiable reconstruction (STE + commit losses) -----
+    contrib = qs * act_f
+    r_stack_sg = flat_sg[None] - (jnp.cumsum(contrib, axis=0) - contrib)
+    sum_q = jnp.sum(contrib, axis=0)  # (N, D)
+    # summed STE: value = sum of active quantized, gradient = identity into
+    # the scan input iff the scan's first layer is active (cutoff can turn
+    # the whole scan off when q0 runs at reduced rate)
+    act0 = acts[0].astype(flat.dtype)
+    quantized_out = (act0 * flat + lax.stop_gradient(sum_q - act0 * flat)).reshape(
+        B, T, D
     )
-    # unroll: the 32 layer steps are tiny kernels; unrolling lets XLA fuse
-    # and pipeline across layers instead of paying per-iteration latency
-    _, ys = lax.scan(step, flat, xs, unroll=TRAIN_SCAN_UNROLL)
-    (idxs, commits, sub_quants, quant_steps, n_inited, n_cluster, n_embed, n_avg) = ys
+    # commit losses (ddp :317-320): layer 0 differentiates through its input;
+    # deeper layers' inputs are gradient-free (per-layer STE chain)
+    diff0 = qs[0] - flat
+    commit_first = jnp.mean(diff0 * diff0) * cfg.commitment_weight
+    diff_rest = qs[1:] - r_stack_sg[1:]
+    commit_rest = jnp.mean(diff_rest * diff_rest, axis=(1, 2)) * cfg.commitment_weight
+    commits = jnp.concatenate([commit_first[None], commit_rest], axis=0)
+    commits = jnp.where(acts, commits, 0.0)
 
-    quantized_out = jnp.sum(quant_steps, axis=0).reshape(B, T, D)
+    indices = jnp.where(acts[:, None], idxs, -1).reshape(n_q - start_layer, B, T)
+    sub_quants = jnp.where(act_f > 0, qs, -1.0).reshape(n_q - start_layer, B, T, D)
 
     new_state = RVQState(
         inited=state.inited.at[start_layer:n_q].set(n_inited),
@@ -430,9 +519,6 @@ def rvq_train_forward(
         embed=state.embed.at[start_layer:n_q].set(n_embed),
         embed_avg=state.embed_avg.at[start_layer:n_q].set(n_avg),
     )
-
-    indices = idxs.reshape(n_q - start_layer, B, T)
-    sub_quants = sub_quants.reshape(n_q - start_layer, B, T, D)
 
     if q0_outputs is not None:
         idx0_up, commit0, q0_up, (i0, c0, e0, a0) = q0_outputs

@@ -36,6 +36,16 @@ def main():
     emb = jnp.asarray(
         np.random.RandomState(0).randn(B, Tq, D).astype(np.float32)
     )
+    # steady state: mark every codebook inited (with dropout, layers init
+    # lazily on first activity; timing-wise only the branch matters)
+    rvq_state = rvq_state.replace(
+        inited=jnp.ones_like(rvq_state.inited),
+        embed=jnp.asarray(
+            np.random.RandomState(1).randn(*rvq_state.embed.shape), jnp.float32
+        ),
+        cluster_size=jnp.ones_like(rvq_state.cluster_size),
+    )
+    log(f"inited: {float(np.asarray(rvq_state.inited).min()):.0f}")
 
     def timeit(fn, *args, warmup=2, iters=6):
         for _ in range(warmup):

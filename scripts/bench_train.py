@@ -41,6 +41,15 @@ def main():
     model, disc = _build_flagship(kmeans_init=True)
     params, rvq_state = model.init(jax.random.PRNGKey(0))
     disc_params = disc.init(jax.random.PRNGKey(1))
+    # steady state: all codebooks inited so steps take the fast RVQ branch
+    # (real runs leave the kmeans branch once every layer has been active)
+    rvq_state = rvq_state.replace(
+        inited=jnp.ones_like(rvq_state.inited),
+        embed=jnp.asarray(
+            np.random.RandomState(2).randn(*rvq_state.embed.shape), jnp.float32
+        ),
+        cluster_size=jnp.ones_like(rvq_state.cluster_size),
+    )
     opt_g = make_optimizer(lr=3e-4, betas=(0.5, 0.9))
     opt_d = make_optimizer(lr=3e-4, betas=(0.5, 0.9))
 

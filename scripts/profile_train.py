@@ -71,6 +71,15 @@ def main():
     speech = jnp.asarray(
         np.random.RandomState(0).randn(B, T).astype(np.float32) * 0.1
     )
+    # steady-state RVQ buffers: every codebook inited (with dropout, layers
+    # init lazily on first activity; timing-wise only the branch matters)
+    rvq_state = rvq_state.replace(
+        inited=jnp.ones_like(rvq_state.inited),
+        embed=jnp.asarray(
+            np.random.RandomState(9).randn(*rvq_state.embed.shape), jnp.float32
+        ),
+        cluster_size=jnp.ones_like(rvq_state.cluster_size),
+    )
     results = {}
 
     for tag, dtype in (("fp32", None), ("bf16", jnp.bfloat16)):
