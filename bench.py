@@ -119,6 +119,50 @@ def bench_tpu(batch=256, seconds=10, sr=16000):
     }
 
 
+def bench_train_tpu(batch=64, samples=40960):
+    """Full GAN training step (both turns, EMA codebooks, all losses) with
+    mixed-precision bf16 at a steady-state (all codebooks inited) point."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_flagship
+    from funcodec_tpu.train.step import (
+        create_gan_train_state,
+        make_gan_train_step,
+        make_optimizer,
+    )
+
+    model, disc = _build_flagship(kmeans_init=True)
+    params, rvq_state = model.init(jax.random.PRNGKey(0))
+    rvq_state = rvq_state.replace(
+        inited=jnp.ones_like(rvq_state.inited),
+        embed=jnp.asarray(
+            np.random.RandomState(2).randn(*rvq_state.embed.shape), jnp.float32
+        ),
+        cluster_size=jnp.ones_like(rvq_state.cluster_size),
+    )
+    disc_params = disc.init(jax.random.PRNGKey(1))
+    opt_g = make_optimizer(lr=3e-4, betas=(0.5, 0.9))
+    opt_d = make_optimizer(lr=3e-4, betas=(0.5, 0.9))
+    step = jax.jit(
+        make_gan_train_step(model, disc, opt_g, opt_d, compute_dtype=jnp.bfloat16)
+    )
+    state = create_gan_train_state(params, disc_params, rvq_state, opt_g, opt_d)
+    speech = jnp.asarray(
+        np.random.RandomState(0).randn(batch, samples).astype(np.float32) * 0.1
+    )
+    rng = jax.random.PRNGKey(7)
+    state, stats = step(state, {"speech": speech}, rng)
+    float(stats["generator_loss"])  # warmup + fence
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, stats = step(state, {"speech": speech}, rng)
+        float(stats["generator_loss"])
+        best = min(best, time.perf_counter() - t0)
+    return batch * samples / 16000 / best
+
+
 def bench_torch_reference(batch=1, seconds=10, sr=16000, iters=2):
     """Reference encode+decode on host CPU (same topology, eval mode)."""
     sys.path.insert(0, "/root/reference")
@@ -158,6 +202,10 @@ def bench_torch_reference(batch=1, seconds=10, sr=16000, iters=2):
 def main():
     tpu = bench_tpu()
     try:
+        train_rate = bench_train_tpu()
+    except Exception:
+        train_rate = None
+    try:
         baseline = bench_torch_reference()
     except Exception:
         baseline = None
@@ -172,6 +220,7 @@ def main():
         "token_flip_rate_all": round(tpu["token_flip_rate_all"], 5),
         "mfu_pct": round(tpu["mfu_pct"], 2) if tpu["mfu_pct"] else None,
         "hbm_util_pct": round(tpu["hbm_util_pct"], 2) if tpu["hbm_util_pct"] else None,
+        "train_bf16_b64_audio_s_per_s": round(train_rate, 2) if train_rate else None,
         "baseline": {
             "what": "PyTorch reference (funcodec) encode+decode on host CPU",
             "audio_s_per_s": round(baseline, 2) if baseline else None,
