@@ -373,7 +373,11 @@ class LauraGenModel:
         cfg = self.cfg
         B, Lc = logits.shape[0], logits.shape[1]
         valid = make_pad_mask_bool(codec_lengths, Lc)[:, :, None, None]
-        soft = jax.nn.softmax(logits, axis=-1)
+        # fp32 softmax island (exp/sum must not accumulate in bf16 under
+        # mixed-precision training; see transformer._softmax32)
+        soft = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            logits.dtype
+        )
         pred_token = jnp.argmax(soft, axis=-1)
         hard = jax.nn.one_hot(pred_token, cfg.codebook_size, dtype=soft.dtype)
         pred_prob = soft + lax.stop_gradient(hard - soft)

@@ -30,15 +30,6 @@ def hann_window(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
     return 0.5 * (1.0 - jnp.cos(2.0 * math.pi * n / win_length))
 
 
-def _padded_window(win_length: int, n_fft: int, dtype=jnp.float32) -> jnp.ndarray:
-    """torch.stft zero-pads a short window symmetrically to n_fft."""
-    w = hann_window(win_length, dtype)
-    if win_length < n_fft:
-        left = (n_fft - win_length) // 2
-        w = jnp.pad(w, (left, n_fft - win_length - left))
-    return w
-
-
 def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
     """(..., T) -> (..., n_frames, frame_length) via strided gather."""
     t = x.shape[-1]

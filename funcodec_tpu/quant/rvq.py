@@ -369,6 +369,22 @@ def rvq_train_forward(
     n_scan = n_q - start_layer
     N = flat.shape[0]
     bins = cfg.codebook_size
+    if n_scan == 0:
+        # n_q=1 with the q0 path active: everything came from quantizer 0
+        idx0_up, commit0, q0_up, (i0, c0, e0, a0) = q0_outputs
+        new_state = RVQState(
+            inited=state.inited.at[0].set(jnp.maximum(i0, state.inited[0])),
+            cluster_size=state.cluster_size.at[0].set(c0),
+            embed=state.embed.at[0].set(e0),
+            embed_avg=state.embed_avg.at[0].set(a0),
+        )
+        return (
+            q0_up.reshape(B, T, D).astype(x.dtype),
+            idx0_up[None],
+            commit0[None],
+            q0_up.reshape(1, B, T, D),
+            new_state,
+        )
     if cfg.expiry_mode == "effective":
         e_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys[start_layer:])
         if N >= bins:

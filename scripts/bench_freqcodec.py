@@ -1,10 +1,10 @@
 """FreqCodec (mag_phase, 2D SEANet) serving throughput on real TPU.
 
-The second released codec family (freqcodec_magphase-en-libritts-16k-gr8/
-gr1 nq32ds320, 4.50M / 0.52M params). Times e2e encode+decode at B=256 x
-10 s in bf16 + fp32, plus the ISTFT phase alone (istft still uses
-jnp.fft.irfft — this bench decides whether it needs the DFT-matmul
-treatment stft() got). Appends to /tmp/freqcodec_bench.log.
+The second released codec family (freqcodec_magphase 2D grouped convs,
+gr8/gr1 variants). Times e2e encode+decode at FREQ_B x 10 s in bf16 +
+fp32, plus the (DFT-matmul) ISTFT phase alone. B=256 crashes the axon
+remote compile helper in the 2D conv stacks; FREQ_B defaults to 64.
+Appends to /tmp/freqcodec_bench.log.
 """
 
 import json
@@ -19,24 +19,12 @@ import numpy as np
 LOG = "/tmp/freqcodec_bench.log"
 
 
-def log(msg):
-    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
-    print(line, flush=True)
-    with open(LOG, "a") as f:
-        f.write(line + "\n")
+from _benchlib import make_logger  # noqa: E402
+
+log = make_logger(LOG)
 
 
-def timeit(fn, *args, warmup=2, iters=6):
-    for _ in range(warmup):
-        out = fn(*args)
-        float(np.asarray(out[0] if isinstance(out, tuple) else out))
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(np.asarray(out[0] if isinstance(out, tuple) else out))
-        best = min(best, time.perf_counter() - t0)
-    return best
+from _benchlib import timeit  # noqa: E402
 
 
 def freq_config(gr: int):
@@ -79,7 +67,7 @@ def main():
     from funcodec_tpu.tasks.codec import build_codec_model
 
     B, SECONDS, SR = int(os.environ.get("FREQ_B", "64")), 10, 16000
-    T = B and SECONDS * SR
+    T = SECONDS * SR
     audio_secs = B * SECONDS
     log(f"devices: {jax.devices()}  B={B} T={T}")
     results = {}
@@ -123,19 +111,22 @@ def main():
             log(f"gr{gr} {tag}: {dt*1e3:.1f} ms -> {audio_secs/dt:.0f} audio_s/s")
             results[f"gr{gr}_{tag}_audio_s_per_s"] = audio_secs / dt
 
-        # isolate the ISTFT (decode-side inverse transform)
-        from funcodec_tpu.ops.stft import istft, stft
+    # isolate the ISTFT (decode-side inverse transform; gr-independent)
+    from funcodec_tpu.ops.stft import istft, stft
 
-        spec = stft(speech, 512, 160, win_length=512, center=True)
+    speech = jnp.asarray(
+        np.random.RandomState(0).randn(B, T).astype(np.float32) * 0.1
+    )
+    spec = stft(speech, 512, 160, win_length=512, center=True)
 
-        @jax.jit
-        def istft_only(spec):
-            wav = istft(spec, 512, 160, win_length=512, center=True, length=T)
-            return jnp.sum(jnp.abs(wav))
+    @jax.jit
+    def istft_only(spec):
+        wav = istft(spec, 512, 160, win_length=512, center=True, length=T)
+        return jnp.sum(jnp.abs(wav))
 
-        dt = timeit(istft_only, spec)
-        log(f"istft(512/160) alone: {dt*1e3:.1f} ms")
-        results["istft_ms"] = dt * 1e3
+    dt = timeit(istft_only, spec)
+    log(f"istft(512/160) alone: {dt*1e3:.1f} ms")
+    results["istft_ms"] = dt * 1e3
 
     with open("/tmp/freqcodec_bench.json", "w") as f:
         json.dump(results, f, indent=2)

@@ -17,11 +17,9 @@ import numpy as np
 LOG = "/tmp/rvq_train_bench.log"
 
 
-def log(msg):
-    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
-    print(line, flush=True)
-    with open(LOG, "a") as f:
-        f.write(line + "\n")
+from _benchlib import make_logger  # noqa: E402
+
+log = make_logger(LOG)
 
 
 def main():

@@ -22,11 +22,9 @@ import numpy as np
 LOG = "/tmp/enc_ab.log"
 
 
-def log(msg):
-    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
-    print(line, flush=True)
-    with open(LOG, "a") as f:
-        f.write(line + "\n")
+from _benchlib import make_logger  # noqa: E402
+
+log = make_logger(LOG)
 
 
 def timeit(fn, *args, warmup=2, iters=6):

@@ -29,26 +29,12 @@ import numpy as np
 LOG = "/tmp/pallas_probe.log"
 
 
-def log(msg):
-    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
-    print(line, flush=True)
-    with open(LOG, "a") as f:
-        f.write(line + "\n")
+from _benchlib import make_logger  # noqa: E402
+
+log = make_logger(LOG)
 
 
-def timeit_amortized(make_loop, n_reps, x, warmup=2, iters=4):
-    """make_loop(n) -> jitted fn(x) running the op n times chained.
-    x is a traced ARGUMENT (a closure capture would be burned into the
-    executable as a multi-GB constant)."""
-    fn = make_loop(n_reps)
-    for _ in range(warmup):
-        float(fn(x))
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(fn(x))
-        best = min(best, time.perf_counter() - t0)
-    return best / n_reps
+from _benchlib import timeit_amortized  # noqa: E402
 
 
 def elementwise():

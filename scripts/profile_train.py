@@ -28,26 +28,12 @@ import numpy as np
 LOG = "/tmp/profile_train.log"
 
 
-def log(msg):
-    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
-    print(line, flush=True)
-    with open(LOG, "a") as f:
-        f.write(line + "\n")
+from _benchlib import make_logger  # noqa: E402
+
+log = make_logger(LOG)
 
 
-def timeit(fn, *args, warmup=2, iters=5):
-    import jax.numpy as jnp
-
-    for _ in range(warmup):
-        out = fn(*args)
-        float(np.asarray(out[0] if isinstance(out, tuple) else out))
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(np.asarray(out[0] if isinstance(out, tuple) else out))
-        best = min(best, time.perf_counter() - t0)
-    return best
+from _benchlib import timeit  # noqa: E402
 
 
 def main():
@@ -182,9 +168,10 @@ def main():
                             - sp[:, :n].astype(jnp.float32))
                 )
 
-            return jax.value_and_grad(loss_fn)(
+            val, grads = jax.value_and_grad(loss_fn)(
                 {"encoder": p["encoder"], "decoder": p["decoder"]}
-            )[0]
+            )
+            return val + 0.0 * grad_norm_sum(grads)
 
         rec("convs_grad", timeit(convs_grad, p, sp))
 
@@ -196,7 +183,8 @@ def main():
                 f = fake.astype(jnp.float32)
                 return jnp.mean(jnp.abs(o - f)) + model._multi_spectral_loss(o, f)
 
-            return jax.value_and_grad(loss_fn)(fake)[0].sum()
+            val, g = jax.value_and_grad(loss_fn)(fake)
+            return val + 0.0 * jnp.sum(jnp.abs(g.astype(jnp.float32)))
 
         rec("mel_grad", timeit(mel_grad, sp, sp * 0.5))
 

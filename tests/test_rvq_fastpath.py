@@ -87,6 +87,38 @@ def test_fast_matches_slow(expiry_mode, q0, rand):
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gs), atol=1e-5)
 
 
+def test_nq1_with_q0_downsample():
+    """n_q=1 + q0_ds_ratio>1 leaves zero scan layers: the q0-only early
+    return must produce a (1, B, T) index tensor and finite outputs (the
+    reachable case is train_forward with a bandwidth mapping to n_q=1)."""
+    rng = np.random.RandomState(0)
+    n_q, bins, D = 4, 32, 8
+    cfg = RVQConfig(
+        num_quantizers=n_q, codebook_size=bins, dim=D, kmeans_init=True,
+        kmeans_iters=3, decay=0.9, q0_ds_ratio=2,
+    )
+    st = RVQState(
+        inited=jnp.ones((n_q,), jnp.float32),
+        cluster_size=jnp.ones((n_q, bins), jnp.float32),
+        embed=jnp.asarray(rng.randn(n_q, bins, D), jnp.float32),
+        embed_avg=jnp.asarray(rng.randn(n_q, bins, D), jnp.float32),
+    )
+    x = jnp.asarray(rng.randn(2, 12, D), jnp.float32)
+    q, idx, commits, subq, ns = rvq_train_forward(
+        cfg, st, x, jax.random.PRNGKey(0), n_q=1
+    )
+    assert idx.shape == (1, 2, 12)
+    assert commits.shape == (1,)
+    assert np.isfinite(np.asarray(q)).all()
+    # gradient flows via q0's STE
+    g = jax.grad(
+        lambda x: jnp.sum(
+            rvq_train_forward(cfg, st, x, jax.random.PRNGKey(0), n_q=1)[0] ** 2
+        )
+    )(x)
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
 def test_uninited_state_takes_slow_branch_and_inits():
     """With kmeans pending, the runtime cond must run the kmeans scan."""
     cfg, st, x = _setup()
