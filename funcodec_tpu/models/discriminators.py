@@ -173,6 +173,10 @@ class DiscriminatorSTFT:
             center=False, normalized=self.normalized,
         )  # (B, F, T') complex
         z = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)  # (B, F, T', 2)
+        # stft computes fp32 regardless of input dtype; return the conv
+        # stack to the caller's compute dtype (no-op for fp32, keeps the
+        # discriminator in bf16 under mixed-precision training)
+        z = z.astype(x.dtype)
         z = jnp.swapaxes(z, 1, 2)  # (B, T', F, 2) — 'b c w t -> b c t w'
         fmap = []
         for spec, p in zip(self.conv_specs, params["convs"]):
