@@ -171,6 +171,15 @@ class ResidualQuantizer:
         RVQConfig.rand_num_quant.
       * sync_kmeans/sync_codebook — obsolete under GSPMD: codebook statistics
         are psum-ed inside the jitted step, so every replica is always in sync.
+
+    Known gradient divergence vs the vendored module: lucidrains'
+    residual_vq.py subtracts `quantized` WITHOUT detach, so the encoder
+    receives straight-through gradients and commit losses from EVERY layer's
+    residual chain; this wrapper reuses the ddp_core_vq-style per-layer STE
+    where residuals past layer 0 are gradient-free. Inference/encode/decode
+    and the forward values are equivalent; training dynamics under
+    name='residual_quantizer' will differ from the vendored reference in the
+    gradient path. The ddp behavior is what every shipped recipe trains with.
     """
 
     def __init__(
@@ -191,17 +200,18 @@ class ResidualQuantizer:
         rand_num_quant = None
         if quantize_dropout:
             m = max(1, quantize_dropout_multiple_of)
-            # lucidrains: cutoff = randrange(cutoff_index, n_q); kept layers =
-            # cutoff rounded up to multiple_of (residual_vq.py dropout branch),
-            # full depth always possible.
+            # lucidrains (residual_vq.py dropout branch): draws
+            # c = randrange(cutoff_index, n_q), then keeps
+            # round_up(c + 1, m) layers (capped at n_q). We enumerate that as
+            # a MULTISET — one entry per c, duplicates preserved — because
+            # rvq_train_forward draws uniformly over rand_num_quant
+            # (jax.random.choice), so duplicates reproduce randrange's
+            # per-depth probabilities exactly even when multiple_of > 1.
             depths = sorted(
-                {
-                    min(-(-c // m) * m, num_quantizers)
-                    for c in range(max(1, quantize_dropout_cutoff_index), num_quantizers)
-                }
-                | {num_quantizers}
+                min(-(-(c + 1) // m) * m, num_quantizers)
+                for c in range(max(1, quantize_dropout_cutoff_index), num_quantizers)
             )
-            rand_num_quant = tuple(depths)
+            rand_num_quant = tuple(depths) if depths else (num_quantizers,)
         self.commitment_weight = float(commitment_weight)
         self.code_dim = input_size
         self.cfg = QuantizerConfig(
@@ -212,6 +222,10 @@ class ResidualQuantizer:
             kmeans_init=kmeans_init,
             quantize_dropout=quantize_dropout,
             rand_num_quant=rand_num_quant,
+            # lucidrains' threshold_ema_dead_code=2 expiry actually fires
+            # (unlike ddp_core_vq's clobbered variant), so this surface gets
+            # the working expiry, not the inert "reference" mode.
+            expiry_mode="effective",
         )
         self.rvq_cfg = self.cfg.rvq()
         self._inner = Quantizer(self.cfg)

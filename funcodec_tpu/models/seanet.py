@@ -436,7 +436,12 @@ def apply_layers_packed(
             if y is None:
                 y = _packed_resblock_xla(spec, p, x, T, f, precision)
             if y is None:
+                # Plan failure (e.g. true_skip resblock): run THIS layer on the
+                # unpacked view and advance, else the top-of-loop repack
+                # condition still holds and we'd retry the same layer forever.
                 x, packed = unpack(x, packed), None
+                x = apply_layers(layers[i : i + 1], params[i : i + 1], x, precision)
+                i += 1
                 continue
             x = y
             i += 1
@@ -444,6 +449,8 @@ def apply_layers_packed(
             res = apply_sconv1d_packed(spec, p, x, T, precision)
             if res is None:
                 x, packed = unpack(x, packed), None
+                x = apply_layers(layers[i : i + 1], params[i : i + 1], x, precision)
+                i += 1
                 continue
             yp, T_out, f_out = res
             if f_out == 1:

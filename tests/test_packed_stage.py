@@ -119,6 +119,27 @@ def test_encoder_flag_dispatch(monkeypatch):
                                atol=1e-4, rtol=1e-3)
 
 
+def test_packed_walk_true_skip_resblock_terminates():
+    """Regression: a true_skip resblock (shortcut=None) fails the packed plan;
+    the walk must execute it unpacked and ADVANCE — previously it re-packed
+    and retried the same layer forever (advisor round-2 finding)."""
+    from funcodec_tpu.models.seanet import (
+        SEANetConfig, apply_layers, apply_layers_packed,
+        build_encoder_layers, init_layers,
+    )
+
+    cfg = SEANetConfig(n_filters=32, dimension=64, norm="time_group_norm",
+                       ratios=(4, 2), causal=False, true_skip=True)
+    layers = build_encoder_layers(cfg)
+    assert any(k == "resblock" and spec[1] is None for k, spec in layers)
+    p = init_layers(jax.random.PRNGKey(7), layers)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 1280, 1), jnp.float32)
+    ref = apply_layers(layers, p, x)
+    out = apply_layers_packed(layers, p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)
+
+
 def test_encoder_packed_walk_weight_norm_unpacks():
     """weight_norm encoders run through the packed walk too (weight-side
     norm folds into the kernel), staying correct."""

@@ -48,13 +48,14 @@ def test_commitment_weight_scales_loss():
 @pytest.mark.parametrize(
     "cutoff,multiple,n_q,expect",
     [
-        # lucidrains: cutoff drawn from [cutoff_index, n_q), kept depth = cutoff
-        # rounded UP to multiple_of (residual_vq.py dropout branch); full depth
-        # always reachable.
-        (1, 1, 4, (1, 2, 3, 4)),
-        (2, 1, 4, (2, 3, 4)),
-        (1, 2, 8, (2, 4, 6, 8)),
-        (3, 4, 8, (4, 8)),
+        # lucidrains: c drawn from randrange(cutoff_index, n_q), kept depth =
+        # round_up(c + 1, multiple_of) capped at n_q (residual_vq.py dropout
+        # branch). Enumerated as a MULTISET (one entry per c) so the uniform
+        # jax.random.choice over entries reproduces randrange's distribution.
+        (1, 1, 4, (2, 3, 4)),
+        (2, 1, 4, (3, 4)),
+        (1, 2, 8, (2, 4, 4, 6, 6, 8, 8)),
+        (3, 4, 8, (4, 8, 8, 8, 8)),
     ],
 )
 def test_dropout_depth_set(cutoff, multiple, n_q, expect):
