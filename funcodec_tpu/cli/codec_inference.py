@@ -339,12 +339,26 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--need_sub_quants", type=lambda s: s.lower() == "true", default=False)
     parser.add_argument("--indices_save_type", type=str, default="json", choices=["json", "ark"])
     parser.add_argument("--dtype", type=str, default="float32")
+    parser.add_argument("--stat_flops", action="store_true",
+                        help="print the per-layer FLOPs/params tree before "
+                             "running (codec_inference.py:328-342)")
     return parser
 
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
     triples = [tuple(s.split(",")) for s in args.data_path_and_name_and_type]
+    if args.stat_flops:
+        import logging
+
+        from funcodec_tpu.utils.misc import codec_flops_tree
+
+        s2t = Speech2Token(args.config_file, args.model_file, dtype=args.dtype)
+        logging.info(
+            "\n%s",
+            codec_flops_tree(s2t.model, s2t.params, s2t.rvq_state,
+                             samples=args.sampling_rate),
+        )
     inference_pipeline(
         output_dir=args.output_dir,
         config_file=args.config_file,

@@ -78,6 +78,9 @@ def main(argv=None):
                         help="dump the resolved config yaml and exit (abs_task.py:1108)")
     parser.add_argument("--dry_run", action="store_true",
                         help="build everything, run zero steps (abs_task.py:1299)")
+    parser.add_argument("--stat_flops", action="store_true",
+                        help="print the per-layer FLOPs/params tree of the "
+                             "serving path (gan_speech_codec.py:345-355)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of a few compiled "
                              "steps into this directory (utils/profiling.py)")
@@ -163,6 +166,14 @@ def main(argv=None):
     from funcodec_tpu.utils.misc import model_summary
 
     logging.info(model_summary(state.params, "generator"))
+    if args.stat_flops:
+        from funcodec_tpu.utils.misc import codec_flops_tree
+
+        logging.info(
+            "\n%s",
+            codec_flops_tree(model, state.params, state.rvq_state,
+                             samples=config.get("speech_max_length", 16000)),
+        )
     if args.dry_run:
         logging.info("--dry_run: model and data built, exiting before training")
         return

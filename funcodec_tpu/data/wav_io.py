@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import struct
 from pathlib import Path
-from typing import Dict, Iterator, Tuple, Union
+from typing import Dict, Iterator, Optional, Tuple, Union
 
 import numpy as np
 
@@ -19,58 +19,65 @@ import numpy as np
 def read_wav(path: Union[str, Path]) -> Tuple[int, np.ndarray]:
     """Read a WAV file -> (sample_rate, float32 array (T,) or (T, C) in [-1, 1])."""
     with open(path, "rb") as f:
-        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
-        if riff != b"RIFF" or wave != b"WAVE":
-            raise ValueError(f"{path}: not a RIFF/WAVE file")
-        fmt = None
-        data = None
-        while True:
-            hdr = f.read(8)
-            if len(hdr) < 8:
-                break
-            chunk_id, chunk_size = struct.unpack("<4sI", hdr)
-            if chunk_id == b"fmt ":
-                fmt = f.read(chunk_size)
-                if chunk_size % 2:
-                    f.read(1)
-            elif chunk_id == b"data":
-                data = f.read(chunk_size)
-                if chunk_size % 2:
-                    f.read(1)
-            else:
-                f.seek(chunk_size + (chunk_size % 2), 1)
-        if fmt is None or data is None:
-            raise ValueError(f"{path}: missing fmt/data chunk")
-        audio_format, channels, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
-        if audio_format == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
-            audio_format = struct.unpack("<H", fmt[24:26])[0]
+        return read_wav_fileobj(f, name=str(path))
 
-        if audio_format == 1:  # PCM
-            if bits == 16:
-                x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
-            elif bits == 32:
-                x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
-            elif bits == 24:
-                raw = np.frombuffer(data, np.uint8).reshape(-1, 3)
-                ints = (
-                    raw[:, 0].astype(np.int32)
-                    | (raw[:, 1].astype(np.int32) << 8)
-                    | (raw[:, 2].astype(np.int32) << 16)
-                )
-                ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
-                x = ints.astype(np.float32) / 8388608.0
-            elif bits == 8:
-                x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
-            else:
-                raise ValueError(f"{path}: unsupported PCM bits {bits}")
-        elif audio_format == 3:  # IEEE float
-            x = np.frombuffer(data, "<f4" if bits == 32 else "<f8").astype(np.float32)
+
+def read_wav_fileobj(f, name: str = "<fileobj>") -> Tuple[int, np.ndarray]:
+    """Parse one RIFF/WAVE stream at the current position. Reading is bounded
+    by the RIFF size field so a WAV embedded inside a kaldi wav ark (kaldiio
+    WriteHelper((rate, int16)) entries) stops at the record boundary."""
+    riff, size, wave = struct.unpack("<4sI4s", f.read(12))
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError(f"{name}: not a RIFF/WAVE stream")
+    remaining = size - 4  # bytes after the WAVE tag
+    fmt = None
+    data = None
+    while remaining >= 8:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        remaining -= 8
+        chunk_id, chunk_size = struct.unpack("<4sI", hdr)
+        pad = chunk_size % 2
+        remaining -= chunk_size + pad
+        if chunk_id == b"fmt ":
+            fmt = f.read(chunk_size + pad)[:chunk_size]
+        elif chunk_id == b"data":
+            data = f.read(chunk_size + pad)[:chunk_size]
         else:
-            raise ValueError(f"{path}: unsupported format code {audio_format}")
+            f.seek(chunk_size + pad, 1)
+    if fmt is None or data is None:
+        raise ValueError(f"{name}: missing fmt/data chunk")
+    audio_format, channels, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = struct.unpack("<H", fmt[24:26])[0]
 
-        if channels > 1:
-            x = x.reshape(-1, channels)
-        return sr, x
+    if audio_format == 1:  # PCM
+        if bits == 16:
+            x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+        elif bits == 24:
+            raw = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            ints = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+            x = ints.astype(np.float32) / 8388608.0
+        elif bits == 8:
+            x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"{name}: unsupported PCM bits {bits}")
+    elif audio_format == 3:  # IEEE float
+        x = np.frombuffer(data, "<f4" if bits == 32 else "<f8").astype(np.float32)
+    else:
+        raise ValueError(f"{name}: unsupported format code {audio_format}")
+
+    if channels > 1:
+        x = x.reshape(-1, channels)
+    return sr, x
 
 
 def write_wav(
@@ -150,8 +157,76 @@ def read_2column_text(path: Union[str, Path]) -> Dict[str, str]:
     return out
 
 
+def read_wav_ark_entry(rxspecifier: str) -> Tuple[int, np.ndarray]:
+    """Read one wav from 'path.ark:offset' (kaldiio wav-ark entry: the scp
+    offset points directly at the embedded RIFF header)."""
+    path, _, offset = rxspecifier.rpartition(":")
+    with open(path, "rb") as f:
+        f.seek(int(offset))
+        return read_wav_fileobj(f, name=rxspecifier)
+
+
+class WavArkWriter:
+    """kaldiio WriteHelper("ark,scp,f:...") for (rate, int16 wav) entries —
+    the format the reference's data prep dumps resampled corpora into
+    (egs/LibriTTS/codec/run.sh:123-147, scripts/dump_to_wav_ark.py:81).
+
+    Record layout: b"<key> " + RIFF/WAVE bytes (16-bit PCM); scp line is
+    "<key> <ark_path>:<offset>" with offset at the RIFF marker.
+    """
+
+    def __init__(self, ark_path: Union[str, Path], scp_path: Optional[Union[str, Path]] = None):
+        self.ark_path = str(ark_path)
+        self.ark_f = open(ark_path, "wb")
+        self.scp_f = open(scp_path, "wt") if scp_path else None
+
+    def __call__(self, key: str, sample_rate: int, wav: np.ndarray) -> None:
+        wav = np.asarray(wav)
+        if wav.dtype != np.int16:  # float [-1,1] -> int16 (dump_to_wav_ark.py:81)
+            wav = (np.asarray(wav, np.float32) * (2**15)).astype(np.int16)
+        payload = wav.tobytes()
+        channels = 1 if wav.ndim == 1 else wav.shape[1]
+        self.ark_f.write(key.encode() + b" ")
+        offset = self.ark_f.tell()
+        byte_rate = sample_rate * channels * 2
+        self.ark_f.write(b"RIFF")
+        self.ark_f.write(struct.pack("<I", 36 + len(payload)))
+        self.ark_f.write(b"WAVE")
+        self.ark_f.write(b"fmt ")
+        self.ark_f.write(struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                                     byte_rate, channels * 2, 16))
+        self.ark_f.write(b"data")
+        self.ark_f.write(struct.pack("<I", len(payload)))
+        self.ark_f.write(payload)
+        if len(payload) % 2:
+            self.ark_f.write(b"\0")
+        self.ark_f.flush()
+        if self.scp_f:
+            self.scp_f.write(f"{key} {self.ark_path}:{offset}\n")
+            self.scp_f.flush()
+
+    def close(self):
+        self.ark_f.close()
+        if self.scp_f:
+            self.scp_f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def _is_ark_entry(path: str) -> bool:
+    head, sep, offset = path.rpartition(":")
+    return bool(sep) and offset.isdigit() and ".ark" in head.lower()
+
+
 class SoundScpReader:
-    """wav.scp reader: uttid -> (rate, array) (fileio/sound_scp.py:12-67)."""
+    """wav.scp reader: uttid -> (rate, array) (fileio/sound_scp.py:12-67).
+
+    Values may be plain wav paths or wav-ark entries 'x.ark:offset' (the form
+    the reference's resample-to-ark data prep produces)."""
 
     def __init__(self, fname: Union[str, Path], dtype=np.float32):
         self.fname = fname
@@ -160,7 +235,10 @@ class SoundScpReader:
 
     def __getitem__(self, key: str) -> Tuple[int, np.ndarray]:
         path = self.data[key]
-        sr, x = read_wav(path)
+        if _is_ark_entry(path):
+            sr, x = read_wav_ark_entry(path)
+        else:
+            sr, x = read_wav(path)
         return sr, x.astype(self.dtype)
 
     def keys(self):
