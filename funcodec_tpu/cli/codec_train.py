@@ -141,6 +141,7 @@ def main(argv=None):
         grad_noise=config.get("grad_noise", False),
         batch_type=config.get("batch_type", "unsorted"),
         batch_bins=config.get("batch_bins", 4_000_000),
+        shared_forward=config.get("shared_forward", True),
         train_shape_file=args.train_shape_file or config.get("train_shape_file"),
         profile_dir=args.profile_dir,
         # "bfloat16" = mixed-precision training (fp32 masters, bf16 compute);

@@ -346,11 +346,24 @@ class Encodec:
         (the reference detaches via optimizer separation; adversarial losses
         flow through the discriminator *activations* into the generator).
         """
-        cfg = self.cfg
         orig = speech.astype(jnp.float32)
         recon, aux = self._reconstruct(
             params, rvq_state, speech, key, precision=precision, training=training
         )
+        return self._generator_losses(
+            params, disc_params, discriminator, orig, recon, aux, key,
+            precision=precision,
+        )
+
+    def _generator_losses(
+        self, params, disc_params, discriminator, orig, recon, aux, key,
+        precision=None,
+    ):
+        """Generator loss assembly from a precomputed reconstruction
+        (codec_basic.py:520-597). Split out of forward_generator so the
+        shared-forward train step (train/step.py) can reuse one
+        encode->RVQ->decode for both optimizer turns."""
+        cfg = self.cfg
         recon = recon.astype(jnp.float32)
 
         recon_loss = jnp.mean(jnp.abs(orig - recon))
@@ -443,6 +456,7 @@ class Encodec:
         in train mode so the RVQ EMA state advances, as in the reference.
         """
         pit = bool(getattr(self.cfg, "phase_invariant_training", False))
+        aug_key = None
         if pit:
             key, aug_key = jax.random.split(key)
         gen_params_sg = jax.tree_util.tree_map(lax.stop_gradient, params)
@@ -451,7 +465,22 @@ class Encodec:
         )
         orig = speech.astype(jnp.float32)
         fake = lax.stop_gradient(recon.astype(jnp.float32))
+        loss, out = self._discriminator_losses(
+            disc_params, discriminator, orig, fake, gen_loss_carry, aug_key,
+            training=training, precision=precision,
+        )
+        out["rvq_state"] = aux["rvq_state"]
+        return loss, out
 
+    def _discriminator_losses(
+        self, disc_params, discriminator, orig, fake, gen_loss_carry, aug_key,
+        training: bool = True, precision=None,
+    ):
+        """Discriminator loss assembly from a precomputed (stop-gradient) fake
+        (codec_basic.py:631-658 + codec_freq.py:611-637 PIT). `aug_key` is
+        required iff phase_invariant_training. Shared by forward_discriminator
+        and the shared-forward train step."""
+        pit = bool(getattr(self.cfg, "phase_invariant_training", False))
         real_outs = discriminator(disc_params, orig, precision=precision)
         fake_outs = discriminator(disc_params, fake, precision=precision)
         disc_losses = []
@@ -499,5 +528,5 @@ class Encodec:
         stats = dict(discriminator_total_loss=loss, discriminator_loss=disc_loss)
         if pit:
             stats["pit_disc_loss"] = pit_disc_loss
-        out = dict(stats=stats, rvq_state=aux["rvq_state"], real=orig, fake=fake)
+        out = dict(stats=stats, real=orig, fake=fake)
         return loss, out

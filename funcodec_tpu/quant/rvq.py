@@ -555,6 +555,26 @@ def rvq_train_forward(
     return quantized_out, indices, commits, sub_quants, new_state
 
 
+def codebook_health(cfg: RVQConfig, state: RVQState):
+    """Traced codebook-health scalars for training-loop monitoring.
+
+    GAN+EMA failure modes (dead codes accumulating, codebook collapse) show
+    up over thousands of steps; the reference surfaces nothing equivalent —
+    its trainers log losses only. Returns:
+      * dead_codes: total codes with EMA usage below threshold_ema_dead_code
+        (summed over all layers);
+      * usage_perplexity: exp(entropy) of the EMA cluster-size distribution,
+        averaged over layers, normalized by codebook_size into (0, 1] —
+        1.0 = perfectly uniform usage, ->0 = collapse onto few codes.
+    """
+    cs = state.cluster_size.astype(jnp.float32)  # (n_q, bins)
+    dead = jnp.sum((cs < cfg.threshold_ema_dead_code).astype(jnp.float32))
+    p = cs / jnp.maximum(jnp.sum(cs, axis=-1, keepdims=True), 1e-9)
+    entropy = -jnp.sum(jnp.where(p > 0, p * jnp.log(jnp.maximum(p, 1e-12)), 0.0), axis=-1)
+    perplexity = jnp.mean(jnp.exp(entropy)) / cfg.codebook_size
+    return dead, perplexity
+
+
 def rvq_inference(
     cfg: RVQConfig,
     state: RVQState,

@@ -102,6 +102,12 @@ class TrainerOptions:
     # compute_dtype; the TPU equivalent of the reference's AMP GradScaler,
     # trainer.py:213-227, minus the loss scaling bf16 doesn't need)
     train_dtype: str = "float32"
+    # One generator forward per step, stop-gradient fake into the disc turn
+    # (train/step.py shared_train_step). Default ON for production throughput;
+    # set false for bit-exact reference two-forward semantics (the differences
+    # — single RVQ EMA advance, one-step-stale D in the adv loss — are
+    # documented at make_gan_train_step)
+    shared_forward: bool = True
 
 
 class GANCodecTrainer:
@@ -148,6 +154,7 @@ class GANCodecTrainer:
             compute_dtype=(
                 jnp.bfloat16 if o.train_dtype in ("bfloat16", "bf16") else None
             ),
+            shared_forward=o.shared_forward,
         )
         self._jit_train_step = None
         self._jit_valid_step = None
@@ -238,7 +245,12 @@ class GANCodecTrainer:
             # per-iteration phase timing (reporter.py:263-280 measure_time
             # role): the float() conversions below fetch scalars, which
             # fences the async dispatch, so step_time is wall-per-step
-            host_stats = {k: float(v) for k, v in stats.items()}
+            # ONE batched transfer: per-scalar float(v) would pay the
+            # dispatch+fetch round-trip (~38 ms over the axon tunnel,
+            # NOTES_ROUND2) once per stat instead of once per step
+            host_stats = {
+                k: float(v) for k, v in jax.device_get(stats).items()
+            }
             now = time.time()
             host_stats["iter_time"] = now - t_last
             host_stats["step_time"] = now - t_data
@@ -269,7 +281,7 @@ class GANCodecTrainer:
                 jax.random.fold_in(rng, vi),
             )
             sub.register(
-                {k: float(v) for k, v in stats.items()},
+                {k: float(v) for k, v in jax.device_get(stats).items()},
                 weight=batch["speech"].shape[0],
             )
             # dump a few real/fake pairs per epoch (gan_trainer.py:482-495)

@@ -247,8 +247,12 @@ class LauraTrainer:
             for i, (keys, batch) in enumerate(train_loader_factory(epoch)):
                 tracer.tick(int(state.step))
                 state, stats = step_fn(state, self._to_device(batch), rng)
-                sub.register({k: float(v) for k, v in stats.items()},
-                             weight=len(keys))
+                # one batched transfer instead of a ~38 ms tunnel round-trip
+                # per stat scalar (NOTES_ROUND2 dispatch-floor trap)
+                sub.register(
+                    {k: float(v) for k, v in jax.device_get(stats).items()},
+                    weight=len(keys),
+                )
                 if (i + 1) % o.log_interval == 0:
                     logging.info(sub.log_message())
                 if o.num_iters_per_epoch and (i + 1) >= o.num_iters_per_epoch:
@@ -261,7 +265,10 @@ class LauraTrainer:
                 stats = valid_fn(
                     state, self._to_device(batch), jax.random.fold_in(rng, vi)
                 )
-                subv.register({k: float(v) for k, v in stats.items()}, weight=len(keys))
+                subv.register(
+                    {k: float(v) for k, v in jax.device_get(stats).items()},
+                    weight=len(keys),
+                )
             self.reporter.finish_epoch(subv)
 
             save_train_state(str(ckpt), state)

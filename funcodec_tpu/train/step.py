@@ -22,7 +22,7 @@ import optax
 from flax import struct
 from jax import lax
 
-from funcodec_tpu.quant.rvq import RVQState
+from funcodec_tpu.quant.rvq import RVQState, codebook_health
 
 
 @struct.dataclass
@@ -152,8 +152,27 @@ def make_gan_train_step(
     disc_train_interval: int = 1,
     precision=None,
     compute_dtype=None,
+    shared_forward: bool = False,
 ):
     """Build the jittable GAN step. `model` is Encodec (or FreqCodec).
+
+    `shared_forward=True` computes the generator encode->RVQ->decode ONCE per
+    step and feeds its stop-gradient reconstruction to the discriminator turn,
+    instead of re-running the full generator forward inside the disc turn the
+    way the reference must (codec_basic.py:621-631 re-encodes the batch because
+    torch cannot share a graph across optimizer turns; one jitted step can).
+    Semantics differences vs the reference's two-forward step, all
+    second-order small and documented here deliberately:
+      * the RVQ EMA advances ONCE per step, not twice (the reference's disc
+        forward runs the quantizer in train mode a second time on the same
+        batch, codec_basic.py:625-627);
+      * the gen adversarial loss sees the step's INITIAL disc params (the
+        reference updates D first, then G sees the updated D) — one-step
+        staleness;
+      * the disc turn's fake is drawn with the gen turn's RNG (one quantizer
+        dropout draw per step instead of two independent draws).
+    Exact-reference mode (shared_forward=False) is kept as the default for
+    parity tests; trainers enable shared mode for production throughput.
 
     `compute_dtype=jnp.bfloat16` enables mixed-precision training: master
     params (and Adam moments) stay fp32 in the train state, but the forward/
@@ -228,6 +247,92 @@ def make_gan_train_step(
         stats["generator_nonfinite_skip"] = 1.0 - is_finite.astype(jnp.float32)
         return state, stats
 
+    def shared_train_step(state: GANTrainState, batch: Dict[str, jnp.ndarray], rng):
+        speech = batch["speech"]
+        d_key, g_key = jax.random.split(jax.random.fold_in(rng, state.step))
+        pit = bool(getattr(model.cfg, "phase_invariant_training", False))
+        aug_key = jax.random.fold_in(d_key, 11) if pit else None
+
+        c_speech = cast_floating(speech, compute_dtype)
+        c_disc_params = cast_floating(state.disc_params, compute_dtype)
+
+        # -- one generator forward+backward for the whole step
+        def gen_loss_fn(params):
+            return model.forward_generator(
+                cast_floating(params, compute_dtype), c_disc_params,
+                discriminator, state.rvq_state, c_speech, g_key,
+                precision=precision,
+            )
+
+        (_, g_out), g_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.params
+        )
+        orig = speech.astype(jnp.float32)
+        fake = lax.stop_gradient(g_out["fake"]).astype(jnp.float32)
+
+        # -- discriminator turn on the shared fake
+        def disc_loss_fn(disc_params):
+            return model._discriminator_losses(
+                cast_floating(disc_params, compute_dtype), discriminator,
+                cast_floating(orig, compute_dtype),
+                cast_floating(fake, compute_dtype),
+                state.gen_loss_carry, aug_key, training=True,
+                precision=precision,
+            )
+
+        (_, d_out), d_grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
+            state.disc_params
+        )
+
+        stats: Dict[str, jnp.ndarray] = {}
+        run_disc = (state.step % disc_train_interval) == 0
+        new_disc_params, new_opt_d, d_norm, d_finite = apply_updates_if_finite(
+            optimizer_d, d_grads, state.opt_state_d, state.disc_params
+        )
+        apply_d = jnp.logical_and(run_disc, d_finite)
+        state = state.replace(
+            disc_params=tree_where(apply_d, new_disc_params, state.disc_params),
+            opt_state_d=tree_where(apply_d, new_opt_d, state.opt_state_d),
+            # carry resets only when the disc turn actually ran (codec_basic.py:650)
+            gen_loss_carry=jnp.where(
+                run_disc, jnp.float32(0.0), state.gen_loss_carry
+            ),
+        )
+        d_on = run_disc.astype(jnp.float32)
+        for k, v in d_out["stats"].items():
+            stats[k] = v * d_on
+        stats["discriminator_grad_norm"] = d_norm * d_on
+        stats["discriminator_nonfinite_skip"] = (
+            1.0 - d_finite.astype(jnp.float32)
+        ) * d_on
+
+        run_gen = (state.step % gen_train_interval) == 0
+        new_params, new_opt_g, g_norm, g_finite = apply_updates_if_finite(
+            optimizer_g, g_grads, state.opt_state_g, state.params
+        )
+        apply_g = jnp.logical_and(run_gen, g_finite)
+        state = state.replace(
+            params=tree_where(apply_g, new_params, state.params),
+            opt_state_g=tree_where(apply_g, new_opt_g, state.opt_state_g),
+            rvq_state=tree_where(g_finite, g_out["rvq_state"], state.rvq_state),
+            gen_loss_carry=jnp.where(
+                jnp.logical_and(run_gen, g_finite),
+                state.gen_loss_carry + g_out["gen_loss"],
+                state.gen_loss_carry,
+            ),
+        )
+        g_on = run_gen.astype(jnp.float32)
+        for k, v in g_out["stats"].items():
+            stats[k] = v * g_on
+        stats["generator_grad_norm"] = g_norm * g_on
+        stats["generator_nonfinite_skip"] = (
+            1.0 - g_finite.astype(jnp.float32)
+        ) * g_on
+        _add_codebook_health(stats, state)
+
+        state = state.replace(step=state.step + 1)
+        return state, stats
+
     def train_step(state: GANTrainState, batch: Dict[str, jnp.ndarray], rng):
         speech = batch["speech"]
         d_key, g_key = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -257,11 +362,21 @@ def make_gan_train_step(
                 state,
             )
         stats.update(g_stats)
+        _add_codebook_health(stats, state)
 
         state = state.replace(step=state.step + 1)
         return state, stats
 
-    return train_step
+    def _add_codebook_health(stats, state):
+        # long-horizon EMA health monitoring (quant/rvq.py:codebook_health);
+        # IdentityQuantizer/bypass models carry no EMA codebooks
+        rvq_cfg = getattr(model.quantizer, "rvq_cfg", None)
+        if rvq_cfg is not None and hasattr(state.rvq_state, "cluster_size"):
+            dead, perp = codebook_health(rvq_cfg, state.rvq_state)
+            stats["rvq_dead_codes"] = dead
+            stats["rvq_usage_perplexity"] = perp
+
+    return shared_train_step if shared_forward else train_step
 
 
 def _zero_like_disc_stats(pit: bool = False):

@@ -96,6 +96,106 @@ def si_snr(ref: np.ndarray, deg: np.ndarray) -> float:
     )
 
 
+# -- STOI: the native perceptual metric (ViSQOL's acceptance role) -----------
+#
+# Short-Time Objective Intelligibility (Taal, Hendriks, Heusdens, Jensen,
+# "An Algorithm for Intelligibility Prediction of Time-Frequency Weighted
+# Noisy Speech", IEEE TASLP 2011). Unlike LSD/mel-L1 above, STOI is a
+# *perceptual* model — one-third-octave auditory bands, 384 ms temporal
+# envelopes, clipped normalized correlation — and correlates monotonically
+# with listening scores. This makes the BASELINE "<=0.05 ViSQOL delta" north
+# star trackable in a perceptual unit: report stoi(ref, fp32_recon) vs
+# stoi(ref, bf16_recon) and look at the delta. Validated in
+# tests/test_quality_stoi.py for monotonicity on additive-noise and n_q
+# (bitrate) anchor sweeps.
+
+_STOI_FS = 10_000  # internal rate the 2011 paper fixes
+_STOI_FRAME = 256  # 25.6 ms analysis window
+_STOI_NFFT = 512
+_STOI_NBANDS = 15  # one-third octave bands from 150 Hz
+_STOI_MINFREQ = 150.0
+_STOI_SEG = 30  # frames per intermediate-intelligibility segment (384 ms)
+_STOI_BETA_DB = -15.0  # lower SDR clip bound
+_STOI_DYN_RANGE = 40.0  # silent-frame energy threshold below peak, dB
+
+
+def _third_octave_band_matrix() -> np.ndarray:
+    """(15, 257) boolean band matrix over the 512-point rfft bins."""
+    f = np.linspace(0, _STOI_FS / 2, _STOI_NFFT // 2 + 1)
+    k = np.arange(_STOI_NBANDS, dtype=np.float64)
+    cf = _STOI_MINFREQ * 2.0 ** (k / 3.0)
+    lo = cf * 2.0 ** (-1.0 / 6.0)
+    hi = cf * 2.0 ** (1.0 / 6.0)
+    # each bin joins the band whose [lo, hi) interval contains it (paper uses
+    # nearest-edge rounding; interval membership is equivalent on this grid)
+    mat = (f[None, :] >= lo[:, None]) & (f[None, :] < hi[:, None])
+    return mat.astype(np.float64)
+
+
+def _stoi_frames(x: np.ndarray) -> np.ndarray:
+    """50%-overlap hann frames, (n_frames, 256)."""
+    hop = _STOI_FRAME // 2
+    if len(x) < _STOI_FRAME:
+        x = np.pad(x, (0, _STOI_FRAME - len(x)))
+    n_frames = 1 + (len(x) - _STOI_FRAME) // hop
+    idx = np.arange(_STOI_FRAME)[None, :] + hop * np.arange(n_frames)[:, None]
+    return x[idx] * np.hanning(_STOI_FRAME)[None, :]
+
+
+def stoi(ref: np.ndarray, deg: np.ndarray, sr: int = 16000) -> float:
+    """STOI in [~0, 1] (higher is better; clean speech ~1.0).
+
+    Mirrors the reference implementation's stages: resample to 10 kHz,
+    remove frames >40 dB below the loudest frame (mask decided on the
+    CLEAN signal, applied to both), 15-band one-third-octave envelopes,
+    384 ms segments, normalization + (1+10^(-beta/20)) clipping, mean
+    correlation.
+    """
+    from funcodec_tpu.data.wav_io import resample
+
+    ref, deg = _align(ref, deg)
+    if sr != _STOI_FS:
+        ref = resample(ref.astype(np.float32), sr, _STOI_FS).astype(np.float64)
+        deg = resample(deg.astype(np.float32), sr, _STOI_FS).astype(np.float64)
+
+    xf = _stoi_frames(ref)
+    yf = _stoi_frames(deg)
+    energy_db = 20.0 * np.log10(np.linalg.norm(xf, axis=-1) + 1e-12)
+    keep = energy_db > (energy_db.max() - _STOI_DYN_RANGE)
+    xf, yf = xf[keep], yf[keep]
+    if xf.shape[0] < _STOI_SEG:
+        # too short for one 384 ms segment: fall back to one ragged segment
+        seg_len = max(2, xf.shape[0])
+    else:
+        seg_len = _STOI_SEG
+
+    spec_x = np.fft.rfft(xf, n=_STOI_NFFT, axis=-1)
+    spec_y = np.fft.rfft(yf, n=_STOI_NFFT, axis=-1)
+    band = _third_octave_band_matrix()  # (15, F)
+    # band envelope: sqrt of band-summed power, (frames, 15)
+    ex = np.sqrt((spec_x.real**2 + spec_x.imag**2) @ band.T)
+    ey = np.sqrt((spec_y.real**2 + spec_y.imag**2) @ band.T)
+
+    n_frames = ex.shape[0]
+    if n_frames < 2:
+        return float("nan")
+    clip_fac = 10.0 ** (-_STOI_BETA_DB / 20.0)
+    corrs = []
+    for m in range(seg_len, n_frames + 1):
+        xs = ex[m - seg_len : m]  # (N, 15)
+        ys = ey[m - seg_len : m]
+        # per-band normalization of the degraded segment to the clean energy
+        alpha = np.linalg.norm(xs, axis=0, keepdims=True) / (
+            np.linalg.norm(ys, axis=0, keepdims=True) + 1e-12
+        )
+        ys_n = np.minimum(ys * alpha, xs * (1.0 + clip_fac))
+        xs_c = xs - xs.mean(axis=0, keepdims=True)
+        ys_c = ys_n - ys_n.mean(axis=0, keepdims=True)
+        denom = np.linalg.norm(xs_c, axis=0) * np.linalg.norm(ys_c, axis=0)
+        corrs.append(np.sum(xs_c * ys_c, axis=0) / (denom + 1e-12))
+    return float(np.mean(np.stack(corrs)))
+
+
 def reconstruction_metrics(
     ref: np.ndarray, deg: np.ndarray, sr: int = 16000
 ) -> Dict[str, float]:
@@ -104,4 +204,5 @@ def reconstruction_metrics(
         "lsd_db": log_spectral_distance(ref, deg),
         "mel_distortion": mel_distortion(ref, deg, sr=sr),
         "si_snr_db": si_snr(ref, deg),
+        "stoi": stoi(ref, deg, sr=sr),
     }
