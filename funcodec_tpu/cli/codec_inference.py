@@ -33,6 +33,7 @@ from funcodec_tpu.data.wav_io import (
     read_wav,
     resample,
     save_audio,
+    write_wav,
 )
 from funcodec_tpu.tasks.codec import build_codec_model, load_config
 
@@ -82,6 +83,7 @@ class Speech2Token:
                 self.params,
             )
         self._jitted: Dict[Any, Any] = {}
+        self._pcm16_fn = None
 
     @property
     def hop_length(self) -> int:
@@ -129,20 +131,42 @@ class Speech2Token:
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
-    def __call__(
+    def _pcm16(self, recon, ilens):
+        """Device-side save_audio(rescale=True): per-utterance peak over the
+        VALID samples only, scale down to |x| <= 0.99, quantize to int16.
+        Fetching 2-byte PCM instead of fp32 cuts serving D2H bytes 2x (the
+        tunnel/PCIe link is the e2e bottleneck — NOTES_ROUND3)."""
+        if self._pcm16_fn is None:
+
+            def fn(r, n):
+                r = r.astype(jnp.float32)
+                mask = jnp.arange(r.shape[1])[None, :] < n[:, None]
+                peak = jnp.max(jnp.abs(r) * mask, axis=1, keepdims=True)
+                scale = jnp.where(peak > 0.99, 0.99 / jnp.maximum(peak, 1e-12), 1.0)
+                q = jnp.round(r * scale * 32767.0)
+                return jnp.clip(q, -32768, 32767).astype(jnp.int16)
+
+            self._pcm16_fn = jax.jit(fn)
+        return self._pcm16_fn(recon, jnp.asarray(np.asarray(ilens, np.int32)))
+
+    def dispatch(
         self,
         speech: np.ndarray,
         need_recon: bool = True,
         bit_width=_UNSET,
         use_scale: bool = True,
         run_mod: str = "inference",
-    ):
-        """One batch. speech: (B, T) waveform, or (B, T, n_q) tokens for
-        decode, or (B, T, D) embeddings for decode_emb
-        (codec_inference.py:86-134).
+        pcm16_ilens=None,
+    ) -> Dict[str, Any]:
+        """Asynchronously dispatch one batch; returns the device out dict
+        WITHOUT fetching. jax dispatch is async, so the host returns
+        immediately and can decode/pad the next batch or write the previous
+        one while this batch computes — the overlap the serving pipeline
+        relies on (VERDICT r2 item 2). Pair with collect().
 
-        bit_width: omit for the constructor default; pass None explicitly for
-        ALL quantizers."""
+        pcm16_ilens: per-utterance valid sample counts; when given, the
+        reconstruction is peak-normalized + int16-quantized ON DEVICE so
+        collect() fetches 2-byte PCM rather than 4-byte float."""
         if bit_width is _UNSET:
             bit_width = self.bit_width
         if run_mod == "decode":
@@ -159,12 +183,57 @@ class Speech2Token:
             x = jnp.asarray(np.asarray(speech, np.float32)).astype(self.dtype)
             fn = self._get_fn(run_mod, need_recon or run_mod == "inference", bit_width, use_scale)
             out = fn(self.params, self.rvq_state, x)
-        recon = out.get("recon_speech")
+        if pcm16_ilens is not None and out.get("recon_speech") is not None:
+            out = dict(out)
+            out["recon_pcm16"] = self._pcm16(out.pop("recon_speech"), pcm16_ilens)
+        return out
+
+    @staticmethod
+    def collect(out: Dict[str, Any], need_sub_quants: bool = True):
+        """Fetch a dispatched batch to host in ONE transfer and unpack to
+        (code_indices, code_embeddings, recon, sub_quants) numpy.
+
+        recon is int16 PCM if the batch was dispatched with pcm16_ilens,
+        else float32. sub_quants (n_q per-layer embeddings — by far the
+        largest output, ~0.5 GB/batch at n_q=32 B=64) is fetched ONLY when
+        need_sub_quants."""
+        recon = out.get("recon_pcm16")
+        if recon is None:
+            r = out.get("recon_speech")
+            recon = r.astype(jnp.float32) if r is not None else None
+        fetched = jax.device_get(
+            {
+                "code_indices": out.get("code_indices"),
+                "sub_quants": out.get("sub_quants") if need_sub_quants else None,
+                "recon": recon,
+            }
+        )
         return (
-            out.get("code_indices"),
+            fetched["code_indices"],
             out.get("code_embeddings"),
-            np.asarray(recon.astype(jnp.float32)) if recon is not None else None,
-            out.get("sub_quants"),
+            fetched["recon"],
+            fetched["sub_quants"],
+        )
+
+    def __call__(
+        self,
+        speech: np.ndarray,
+        need_recon: bool = True,
+        bit_width=_UNSET,
+        use_scale: bool = True,
+        run_mod: str = "inference",
+    ):
+        """One synchronous batch. speech: (B, T) waveform, or (B, T, n_q)
+        tokens for decode, or (B, T, D) embeddings for decode_emb
+        (codec_inference.py:86-134).
+
+        bit_width: omit for the constructor default; pass None explicitly for
+        ALL quantizers."""
+        return self.collect(
+            self.dispatch(
+                speech, need_recon=need_recon, bit_width=bit_width,
+                use_scale=use_scale, run_mod=run_mod,
+            )
         )
 
 
@@ -196,6 +265,32 @@ def _iter_batches(items: List[Tuple[str, np.ndarray]], batch_size: int, hop: int
         yield [k for k, _ in chunk], np.stack(padded), lengths
 
 
+def _plan_sound_batches(
+    reader: SoundScpReader,
+    sampling_rate: int,
+    file_sampling_rate: Optional[int],
+    should_resample: bool,
+) -> List[Tuple[str, int]]:
+    """(key, post-resample length) for every utterance WITHOUT decoding:
+    lengths come from RIFF headers (peek_wav_info); resample_poly's output
+    length is ceil(n * new/old) exactly, so the batch plan padding is exact."""
+    from funcodec_tpu.data.wav_io import _is_ark_entry, peek_wav_info
+
+    infos: List[Tuple[str, int]] = []
+    for key in reader:
+        p = reader.data[key]
+        info = None if _is_ark_entry(p) else peek_wav_info(p)
+        if info is not None:
+            sr, n, _ch = info
+        else:  # ark entry or exotic wav: decode once to learn the length
+            sr, wav = reader[key]
+            n = wav.shape[0]
+        src_sr = file_sampling_rate if should_resample else sr
+        est = n if src_sr == sampling_rate else -(-n * sampling_rate // src_sr)
+        infos.append((key, est))
+    return infos
+
+
 def inference_pipeline(
     output_dir: str,
     config_file: str,
@@ -211,8 +306,24 @@ def inference_pipeline(
     need_sub_quants: bool = False,
     indices_save_type: str = "json",
     dtype: str = "float32",
+    pipeline_depth: int = 2,
 ) -> List[Dict[str, Any]]:
-    """The encoding_decoding.sh stage-1/2 driver (codec_inference.py:164-382)."""
+    """The encoding_decoding.sh stage-1/2 driver (codec_inference.py:164-382).
+
+    Three overlapped stages (VERDICT r2 item 2 — host I/O must hide behind
+    device compute for the device throughput to survive end-to-end):
+      reader thread : wav decode + resample + wrap-pad the NEXT batches
+      main thread   : async device dispatch, `pipeline_depth` batches in
+                      flight, one batched fetch per batch
+      writer thread : PCM encode + token/ark writing of FINISHED batches
+    The batch plan (length-sorted buckets) is built from wav headers alone,
+    so the first dispatch happens after decoding just one batch, not the
+    whole corpus.
+    """
+    import queue as _queue
+    import threading
+    from collections import deque
+
     model = Speech2Token(
         config_file, model_file, dtype=dtype,
         sampling_rate=sampling_rate, bit_width=bit_width,
@@ -222,10 +333,16 @@ def inference_pipeline(
     should_resample = file_sampling_rate is not None and file_sampling_rate != sampling_rate
 
     path, name, typ = data_path_and_name_and_type[0]
-    items: List[Tuple[str, np.ndarray]] = []
+    bucket_hop = 1 if run_mod in ("decode", "decode_emb") else hop
+
+    # ---- work plan: (key, length) pairs + a lazy per-key loader ----
     if typ == "sound":
         reader = SoundScpReader(path)
-        for key in reader:
+        infos = _plan_sound_batches(
+            reader, sampling_rate, file_sampling_rate, should_resample
+        )
+
+        def load_item(key: str) -> np.ndarray:
             sr, wav = reader[key]
             if wav.ndim == 2:
                 wav = wav[:, 0]
@@ -233,20 +350,37 @@ def inference_pipeline(
                 wav = resample(wav, file_sampling_rate, sampling_rate)
             elif sr != sampling_rate:
                 wav = resample(wav, sr, sampling_rate)
-            items.append((key, wav.astype(np.float32)))
+            return wav.astype(np.float32)
+
     elif typ == "codec_json":
+        token_map: Dict[str, np.ndarray] = {}
         with open(path) as f:
             for line in f:
                 key, payload = line.rstrip("\n").split(maxsplit=1)
-                items.append((key, load_codec_json(payload)))  # (T, n_q)
+                token_map[key] = load_codec_json(payload)  # (T, n_q)
+        infos = [(k, v.shape[0]) for k, v in token_map.items()]
+
+        def load_item(key: str) -> np.ndarray:
+            return token_map[key]
+
     elif typ == "kaldi_ark":
         from funcodec_tpu.data.kaldi_ark import ArkScpReader
 
-        reader = ArkScpReader(path)
-        for key in reader:
-            items.append((key, reader[key]))
+        ark_reader = ArkScpReader(path)
+        infos = [(k, ark_reader[k].shape[0]) for k in ark_reader]
+
+        def load_item(key: str) -> np.ndarray:
+            return ark_reader[key]
+
     else:
         raise ValueError(f"unsupported data type {typ}")
+
+    # length-sorted chunks (reference collate's sorted bucketing)
+    infos.sort(key=lambda kv: kv[1])
+    planned = [
+        [k for k, _ in infos[i : i + batch_size]]
+        for i in range(0, len(infos), batch_size)
+    ]
 
     indices_writer = None
     indices_file = None
@@ -261,22 +395,34 @@ def inference_pipeline(
         base = os.path.join(output_dir, "codec_emb")
         sub_quants_writer = ArkWriter(base + ".ark", base + ".scp")
 
-    results = []
-    bucket_hop = 1 if run_mod in ("decode", "decode_emb") else hop
-    for keys, batch, lengths in _iter_batches(items, batch_size, bucket_hop):
-        if run_mod in ("decode", "decode_emb"):
-            token_id, token_emb, recon, sub_quants = model(
-                batch, bit_width=bit_width, use_scale=use_scale, run_mod=run_mod
-            )
-        else:
-            token_id, token_emb, recon, sub_quants = model(
-                batch, need_recon=(run_mod == "inference"),
-                bit_width=bit_width, use_scale=use_scale, run_mod=run_mod,
-            )
+    results: List[Dict[str, Any]] = []
+    errors: List[BaseException] = []
+    in_q: "_queue.Queue" = _queue.Queue(maxsize=max(2, pipeline_depth + 1))
+    wr_q: "_queue.Queue" = _queue.Queue(maxsize=max(4, 2 * pipeline_depth))
 
+    def reader_fn():
+        try:
+            for keys in planned:
+                arrs = [load_item(k) for k in keys]
+                lengths = [a.shape[0] for a in arrs]
+                target = _bucket_length(max(lengths), bucket_hop)
+                padded = []
+                for a in arrs:
+                    pad = target - a.shape[0]
+                    if pad > 0:
+                        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                        a = np.pad(a, widths, mode="wrap")
+                    padded.append(a)
+                in_q.put((keys, np.stack(padded), lengths))
+        except BaseException as e:  # surfaced to the caller after join
+            errors.append(e)
+        finally:
+            in_q.put(None)
+
+    def write_batch(keys, fetched, lengths):
+        token_id, _token_emb, recon, sub_quants = fetched
         if should_resample and recon is not None:
             recon = resample(recon, sampling_rate, file_sampling_rate)
-
         for i, key in enumerate(keys):
             if run_mod in ("decode", "decode_emb"):
                 codec_len = lengths[i]
@@ -290,7 +436,11 @@ def inference_pipeline(
                 wav_out = recon[i][:ilen]
                 out_sr = file_sampling_rate if should_resample else sampling_rate
                 fname = key + ".wav" if not key.endswith(".wav") else key
-                save_audio(wav_out, os.path.join(output_dir, fname), out_sr, rescale=True)
+                if wav_out.dtype == np.int16:
+                    # already peak-scaled + quantized on device (_pcm16)
+                    write_wav(os.path.join(output_dir, fname), wav_out, out_sr)
+                else:
+                    save_audio(wav_out, os.path.join(output_dir, fname), out_sr, rescale=True)
                 results.append({"key": key, "value": os.path.join(output_dir, fname)})
             if token_id is not None and (indices_writer or indices_file):
                 # frames list of (n_q, B, T) -> per-utt [[q rows]...]
@@ -311,12 +461,65 @@ def inference_pipeline(
                 mat = cat[:, i, :codec_len, :].transpose(1, 0, 2).reshape(codec_len, -1)
                 sub_quants_writer(key, mat.astype(np.float32))
 
-    if indices_writer:
-        indices_writer.close()
-    if indices_file:
-        indices_file.close()
-    if sub_quants_writer:
-        sub_quants_writer.close()
+    def writer_fn():
+        try:
+            while True:
+                item = wr_q.get()
+                if item is None:
+                    return
+                write_batch(*item)
+        except BaseException as e:
+            errors.append(e)
+            while wr_q.get() is not None:  # drain so the main thread never blocks
+                pass
+
+    reader_t = threading.Thread(target=reader_fn, name="codec-reader", daemon=True)
+    writer_t = threading.Thread(target=writer_fn, name="codec-writer", daemon=True)
+    reader_t.start()
+    writer_t.start()
+
+    pending: deque = deque()
+
+    def flush_one():
+        keys, out, lengths = pending.popleft()
+        wr_q.put((keys, model.collect(out, need_sub_quants=need_sub_quants), lengths))
+
+    want_recon = run_mod != "encode"
+    try:
+        while True:
+            item = in_q.get()
+            if item is None:
+                break
+            keys, batch, lengths = item
+            # valid output samples per utterance at the model sampling rate
+            if run_mod in ("decode", "decode_emb"):
+                ilens = [l * hop for l in lengths]
+            else:
+                ilens = lengths
+            out = model.dispatch(
+                batch, need_recon=want_recon,
+                bit_width=bit_width, use_scale=use_scale, run_mod=run_mod,
+                # int16 on-device quantization only when the host won't
+                # resample (resample needs float input)
+                pcm16_ilens=(ilens if (want_recon and not should_resample) else None),
+            )
+            pending.append((keys, out, lengths))
+            if len(pending) >= pipeline_depth:
+                flush_one()
+        while pending:
+            flush_one()
+    finally:
+        wr_q.put(None)
+        writer_t.join()
+        reader_t.join()
+        if indices_writer:
+            indices_writer.close()
+        if indices_file:
+            indices_file.close()
+        if sub_quants_writer:
+            sub_quants_writer.close()
+    if errors:
+        raise errors[0]
     return results
 
 

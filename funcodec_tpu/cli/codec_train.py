@@ -142,6 +142,7 @@ def main(argv=None):
         batch_type=config.get("batch_type", "unsorted"),
         batch_bins=config.get("batch_bins", 4_000_000),
         shared_forward=config.get("shared_forward", True),
+        num_valid_dump_wavs=config.get("num_valid_dump_wavs", 5),
         train_shape_file=args.train_shape_file or config.get("train_shape_file"),
         profile_dir=args.profile_dir,
         # "bfloat16" = mixed-precision training (fp32 masters, bf16 compute);

@@ -80,19 +80,65 @@ def read_wav_fileobj(f, name: str = "<fileobj>") -> Tuple[int, np.ndarray]:
     return sr, x
 
 
+def peek_wav_info(path: Union[str, Path]) -> Optional[Tuple[int, int, int]]:
+    """Header-only scan -> (sample_rate, n_samples, channels), or None if the
+    file is not a parseable plain WAV.
+
+    Lets the serving pipeline build its length-sorted batch plan from RIFF
+    headers (~100 bytes/file) instead of decoding the whole corpus before the
+    first device dispatch (cli/codec_inference.py batch planning)."""
+    try:
+        with open(path, "rb") as f:
+            riff, size, wave_tag = struct.unpack("<4sI4s", f.read(12))
+            if riff != b"RIFF" or wave_tag != b"WAVE":
+                return None
+            remaining = size - 4
+            sr = channels = bits = None
+            data_size = None
+            while remaining >= 8:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                remaining -= 8
+                chunk_id, chunk_size = struct.unpack("<4sI", hdr)
+                pad = chunk_size % 2
+                remaining -= chunk_size + pad
+                if chunk_id == b"fmt ":
+                    fmt = f.read(chunk_size + pad)[:chunk_size]
+                    _, channels, sr, _br, _ba, bits = struct.unpack(
+                        "<HHIIHH", fmt[:16]
+                    )
+                elif chunk_id == b"data":
+                    data_size = chunk_size
+                    f.seek(chunk_size + pad, 1)
+                else:
+                    f.seek(chunk_size + pad, 1)
+            if sr is None or data_size is None or not bits or not channels:
+                return None
+            return sr, data_size // (channels * bits // 8), channels
+    except (OSError, struct.error, ValueError):
+        return None
+
+
 def write_wav(
     path: Union[str, Path], wav: np.ndarray, sample_rate: int, bits: int = 16
 ) -> None:
-    """Write float32 [-1, 1] (T,) or (T, C) as PCM WAV."""
-    wav = np.asarray(wav, np.float32)
+    """Write float32 [-1, 1] (T,) or (T, C) as PCM WAV. int16 input is
+    written through untouched (pre-quantized on device by the serving
+    pipeline's _pcm16 stage)."""
+    wav = np.asarray(wav)
     if wav.ndim == 1:
         channels = 1
     else:
         channels = wav.shape[1]
-    if bits == 16:
-        pcm = np.clip(np.round(wav * 32767.0), -32768, 32767).astype("<i2")
+    if wav.dtype == np.int16 and bits == 16:
+        pcm = wav.astype("<i2", copy=False)
+    elif wav.dtype == np.int16:
+        raise ValueError("int16 passthrough only supports bits=16")
+    elif bits == 16:
+        pcm = np.clip(np.round(np.asarray(wav, np.float32) * 32767.0), -32768, 32767).astype("<i2")
     elif bits == 32:
-        pcm = np.clip(np.round(wav * 2147483647.0), -(1 << 31), (1 << 31) - 1).astype("<i4")
+        pcm = np.clip(np.round(np.asarray(wav, np.float32) * 2147483647.0), -(1 << 31), (1 << 31) - 1).astype("<i4")
     else:
         raise ValueError(f"unsupported bits {bits}")
     payload = pcm.tobytes()

@@ -1,0 +1,109 @@
+"""End-to-end CLI serving benchmark: wav files -> codecs.txt -> wavs.
+
+VERDICT r2 item 2: the device-only microbenchmark (bench.py, ~6.2k
+audio_s/s) feeds pre-staged jnp arrays; this measures the PUBLIC workflow —
+host wav decode, bucketing, H2D, device compute, D2H, PCM/token writing —
+through cli.codec_inference.inference_pipeline with its overlapped
+reader/dispatch/writer stages. Target: >=80% of the device-only number.
+
+Writes one JSON to /tmp/bench_cli_serving.json and logs phases to
+/tmp/bench_cli_serving.log.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+LOG = "/tmp/bench_cli_serving.log"
+
+
+def log(msg):
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def make_corpus(root: str, n_utts: int, dur_s: float, sr: int = 16000) -> float:
+    """Speech-like synthetic wavs + wav.scp; returns total audio seconds."""
+    from scripts.make_synth_corpus import synth_utterance
+    from funcodec_tpu.data.wav_io import write_wav
+
+    os.makedirs(f"{root}/wavs", exist_ok=True)
+    rng = np.random.RandomState(0)
+    n = int(dur_s * sr)
+    with open(f"{root}/wav.scp", "w") as scp:
+        for i in range(n_utts):
+            key = f"bench_{i:05d}"
+            write_wav(f"{root}/wavs/{key}.wav", synth_utterance(rng, n, sr), sr)
+            scp.write(f"{key} {root}/wavs/{key}.wav\n")
+    return n_utts * dur_s
+
+
+def run_mode(corpus, scp, out_dir, run_mod, batch_size, dtype, audio_s,
+             config, tag):
+    from funcodec_tpu.cli.codec_inference import inference_pipeline
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    inference_pipeline(
+        output_dir=out_dir,
+        config_file=config,
+        model_file="",
+        data_path_and_name_and_type=[(scp, "speech", "sound")],
+        batch_size=batch_size,
+        bit_width=None,  # all 32 quantizers, matching bench.py
+        run_mod=run_mod,
+        dtype=dtype,
+    )
+    dt = time.perf_counter() - t0
+    log(f"{tag}: {dt:.1f}s wall for {audio_s:.0f} audio_s -> "
+        f"{audio_s/dt:.0f} audio_s/s")
+    return audio_s / dt
+
+
+def main():
+    root = "/tmp/cli_bench"
+    config = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "egs/LibriTTS/codec/conf/encodec_16k_n32_600k_step.yaml",
+    )
+    n_utts, dur_s = 256, 10.0
+    if not os.path.exists(f"{root}/wav.scp"):
+        t0 = time.perf_counter()
+        audio_s = make_corpus(root, n_utts, dur_s)
+        log(f"corpus: {n_utts}x{dur_s}s in {time.perf_counter()-t0:.1f}s")
+    else:
+        audio_s = n_utts * dur_s
+        log("corpus: reusing existing")
+
+    results = {}
+    B = 64  # 64 x 10 s per device batch
+    for dtype in ("bfloat16", "float32"):
+        tag = f"encode_decode_{dtype}_b{B}"
+        # warm pass compiles the two bucket shapes; timed pass is steady state
+        run_mode(root, f"{root}/wav.scp", f"{root}/out_warm", "inference",
+                 B, dtype, audio_s, config, tag + "_warm")
+        results[tag] = run_mode(
+            root, f"{root}/wav.scp", f"{root}/out_{dtype}", "inference",
+            B, dtype, audio_s, config, tag,
+        )
+        tag = f"encode_only_{dtype}_b{B}"
+        results[tag] = run_mode(
+            root, f"{root}/wav.scp", f"{root}/enc_{dtype}", "encode",
+            B, dtype, audio_s, config, tag,
+        )
+
+    with open("/tmp/bench_cli_serving.json", "w") as f:
+        json.dump(results, f, indent=2)
+    log("DONE " + json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,10 +55,18 @@ def main():
 
     T = 40960  # speech_max_length
     results = {}
-    for tag, compute_dtype in (("fp32", None), ("bf16", jnp.bfloat16)):
+    # shared = one generator forward per step (production default);
+    # twofwd = exact reference two-forward semantics
+    for tag, compute_dtype, shared in (
+        ("fp32_twofwd", None, False),
+        ("fp32_shared", None, True),
+        ("bf16_twofwd", jnp.bfloat16, False),
+        ("bf16_shared", jnp.bfloat16, True),
+    ):
         step = jax.jit(
             make_gan_train_step(
-                model, disc, opt_g, opt_d, compute_dtype=compute_dtype
+                model, disc, opt_g, opt_d, compute_dtype=compute_dtype,
+                shared_forward=shared,
             )
         )
         for B in (16, 32, 64):

@@ -188,3 +188,20 @@ def test_wav_io_roundtrip(tmp_path):
     sr, y = read_wav(tmp_path / "t.wav")
     assert sr == 16000
     np.testing.assert_allclose(y, x, atol=2.0 / 32767)  # write x32767, read /32768 asymmetry (torchaudio convention)
+
+
+def test_peek_wav_info(tmp_path):
+    """Header-only scan must agree with the full decode (serving batch plan)."""
+    from funcodec_tpu.data.wav_io import peek_wav_info, read_wav, write_wav
+
+    x = np.clip(np.random.RandomState(1).randn(12345) * 0.3, -0.99, 0.99).astype(np.float32)
+    write_wav(tmp_path / "p.wav", x, 24000)
+    info = peek_wav_info(tmp_path / "p.wav")
+    assert info is not None
+    sr, n, ch = info
+    full_sr, full = read_wav(tmp_path / "p.wav")
+    assert (sr, n, ch) == (full_sr, full.shape[0], 1)
+
+    # non-wav bytes -> None, not an exception
+    (tmp_path / "junk.bin").write_bytes(b"\x00" * 64)
+    assert peek_wav_info(tmp_path / "junk.bin") is None
