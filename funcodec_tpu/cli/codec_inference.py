@@ -48,6 +48,40 @@ def load_codec_json(json_str: str) -> np.ndarray:
 
 _UNSET = object()
 
+_CACHE_DIR = os.environ.get("FUNCODEC_TPU_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/funcodec_tpu_xla"))
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: a CLI invocation is a fresh process,
+    so without this every serving run re-pays the full compile of each bucket
+    shape (tens of seconds on TPU). Idempotent; disable by setting
+    FUNCODEC_TPU_COMPILE_CACHE=disabled."""
+    if _CACHE_DIR == "disabled":
+        return
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # cache is an optimization, never a hard failure
+        logging.warning("compilation cache unavailable: %s", e)
+
+
+def _init_on_host(model):
+    """Build initial (params, rvq_state) on the host CPU backend.
+
+    model.init on the default (TPU) backend dispatches hundreds of tiny init
+    ops through the device; on a tunneled device that is ~60 s of round trips
+    (probe_cli_stages.py: construct 63 s). CPU init + one device_put of the
+    finished tree cuts construction to the single weight transfer."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return model.init(jax.random.PRNGKey(0))
+    with jax.default_device(cpu):
+        params, rvq_state = model.init(jax.random.PRNGKey(0))
+    return params, rvq_state
+
 
 class Speech2Token:
     """Codec model wrapper with run_mod in {inference, encode, decode, decode_emb}."""
@@ -60,6 +94,7 @@ class Speech2Token:
         sampling_rate: int = 16_000,
         bit_width: Optional[int] = 8_000,
     ):
+        enable_compile_cache()
         self.config = load_config(config_file)
         self.model, _ = build_codec_model(self.config)
         self.sampling_rate = sampling_rate
@@ -76,12 +111,17 @@ class Speech2Token:
                 self.params, self.rvq_state = load_checkpoint_params(model_file, self.model)
         else:
             logging.warning("no model file %s; random init", model_file)
-            self.params, self.rvq_state = self.model.init(jax.random.PRNGKey(0))
+            self.params, self.rvq_state = _init_on_host(self.model)
         if self.dtype == jnp.bfloat16:
+            # cast on host (half the transfer bytes, no per-leaf device ops)
             self.params = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                lambda x: np.asarray(x).astype(jnp.bfloat16)
+                if np.asarray(x).dtype == np.float32 else np.asarray(x),
                 self.params,
             )
+        dev = jax.devices()[0]
+        self.params = jax.device_put(self.params, dev)
+        self.rvq_state = jax.device_put(self.rvq_state, dev)
         self._jitted: Dict[Any, Any] = {}
         self._pcm16_fn = None
 
@@ -102,8 +142,18 @@ class Speech2Token:
             model = self.model
 
             if run_mod in ("inference", "encode"):
+                compute_dtype = self.dtype
+                small_codes = (
+                    self.model.quantizer.cfg.codebook_size <= 32768
+                )
 
                 def fn(params, state, speech):
+                    # int16 transport: dequantize on device; x/32768 in fp32
+                    # is exact, so the fp32 path stays bit-exact while the
+                    # host->device transfer halves (probe_cli_stages.py)
+                    if speech.dtype == jnp.int16:
+                        speech = speech.astype(jnp.float32) * (1.0 / 32768.0)
+                    speech = speech.astype(compute_dtype)
                     if run_mod == "inference":
                         out = model.inference(
                             params, state, speech, need_recon=need_recon,
@@ -114,6 +164,15 @@ class Speech2Token:
                             params, state, speech, need_recon=need_recon,
                             bit_width=bit_width, use_scale=use_scale,
                         )
+                    if small_codes and out.get("code_indices") and (
+                        out["code_indices"][0] is not None
+                    ):
+                        # token ids < 32768 (and the -1 dropout null) fit
+                        # int16: halves the token fetch bytes
+                        out = dict(out)
+                        out["code_indices"] = [
+                            c.astype(jnp.int16) for c in out["code_indices"]
+                        ]
                     return out
 
             elif run_mod == "decode":
@@ -173,14 +232,18 @@ class Speech2Token:
             nq = None
             if bit_width is not None:
                 nq = int(max(bit_width // self.bits_per_quant, 1))
-            speech = speech[:, :, :nq]
+            # tokens arrive int64 from json; int32 halves the upload
+            speech = np.asarray(speech[:, :, :nq], np.int32)
             fn = self._get_fn("decode", True, None, use_scale)
             out = fn(self.params, self.rvq_state, jnp.asarray(speech))
         elif run_mod == "decode_emb":
             fn = self._get_fn("decode_emb", True, None, use_scale)
             out = fn(self.params, self.rvq_state, jnp.asarray(speech))
         else:
-            x = jnp.asarray(np.asarray(speech, np.float32)).astype(self.dtype)
+            speech = np.asarray(speech)
+            if speech.dtype != np.int16:  # int16 rides the wire raw
+                speech = speech.astype(np.float32, copy=False)
+            x = jnp.asarray(speech)
             fn = self._get_fn(run_mod, need_recon or run_mod == "inference", bit_width, use_scale)
             out = fn(self.params, self.rvq_state, x)
         if pcm16_ilens is not None and out.get("recon_speech") is not None:
@@ -208,8 +271,12 @@ class Speech2Token:
                 "recon": recon,
             }
         )
+        codes = fetched["code_indices"]
+        if codes is not None and codes[0] is not None:
+            # int16 was a transport encoding only; hand out int32
+            codes = [np.asarray(c, np.int32) for c in codes]
         return (
-            fetched["code_indices"],
+            codes,
             out.get("code_embeddings"),
             fetched["recon"],
             fetched["sub_quants"],
@@ -307,6 +374,7 @@ def inference_pipeline(
     indices_save_type: str = "json",
     dtype: str = "float32",
     pipeline_depth: int = 2,
+    model: Optional[Speech2Token] = None,
 ) -> List[Dict[str, Any]]:
     """The encoding_decoding.sh stage-1/2 driver (codec_inference.py:164-382).
 
@@ -324,10 +392,11 @@ def inference_pipeline(
     import threading
     from collections import deque
 
-    model = Speech2Token(
-        config_file, model_file, dtype=dtype,
-        sampling_rate=sampling_rate, bit_width=bit_width,
-    )
+    if model is None:  # callers serving many requests pass a built model in
+        model = Speech2Token(
+            config_file, model_file, dtype=dtype,
+            sampling_rate=sampling_rate, bit_width=bit_width,
+        )
     os.makedirs(output_dir, exist_ok=True)
     hop = model.hop_length
     should_resample = file_sampling_rate is not None and file_sampling_rate != sampling_rate
@@ -343,14 +412,24 @@ def inference_pipeline(
         )
 
         def load_item(key: str) -> np.ndarray:
-            sr, wav = reader[key]
+            from funcodec_tpu.data.wav_io import _is_ark_entry
+
+            p = reader.data[key]
+            if _is_ark_entry(p):
+                sr, wav = reader[key]
+            else:
+                # raw int16 PCM when possible: device dequantizes (exact),
+                # the host->device link carries half the bytes
+                sr, wav = read_wav(p, normalize=False)
             if wav.ndim == 2:
                 wav = wav[:, 0]
+            if wav.dtype == np.int16 and (should_resample or sr != sampling_rate):
+                wav = wav.astype(np.float32) / 32768.0
             if should_resample:
                 wav = resample(wav, file_sampling_rate, sampling_rate)
             elif sr != sampling_rate:
                 wav = resample(wav, sr, sampling_rate)
-            return wav.astype(np.float32)
+            return wav if wav.dtype == np.int16 else wav.astype(np.float32)
 
     elif typ == "codec_json":
         token_map: Dict[str, np.ndarray] = {}
@@ -404,6 +483,13 @@ def inference_pipeline(
         try:
             for keys in planned:
                 arrs = [load_item(k) for k in keys]
+                if any(a.dtype != arrs[0].dtype for a in arrs):
+                    # mixed int16/float batch: promote on host (int16 is an
+                    # unscaled transport form, np.stack must not blend them)
+                    arrs = [
+                        a.astype(np.float32) / 32768.0 if a.dtype == np.int16
+                        else a.astype(np.float32) for a in arrs
+                    ]
                 lengths = [a.shape[0] for a in arrs]
                 target = _bucket_length(max(lengths), bucket_hop)
                 padded = []

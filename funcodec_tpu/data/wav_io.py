@@ -16,13 +16,20 @@ from typing import Dict, Iterator, Optional, Tuple, Union
 import numpy as np
 
 
-def read_wav(path: Union[str, Path]) -> Tuple[int, np.ndarray]:
-    """Read a WAV file -> (sample_rate, float32 array (T,) or (T, C) in [-1, 1])."""
+def read_wav(path: Union[str, Path], normalize: bool = True) -> Tuple[int, np.ndarray]:
+    """Read a WAV file -> (sample_rate, float32 array (T,) or (T, C) in [-1, 1]).
+
+    normalize=False returns 16-bit PCM data as raw int16 (other formats still
+    come back normalized float32). The serving pipeline uses this to ship
+    int16 to the device and dequantize there: x/32768 in fp32 is exact, and
+    the host->device transfer is half the bytes (probe_cli_stages.py)."""
     with open(path, "rb") as f:
-        return read_wav_fileobj(f, name=str(path))
+        return read_wav_fileobj(f, name=str(path), normalize=normalize)
 
 
-def read_wav_fileobj(f, name: str = "<fileobj>") -> Tuple[int, np.ndarray]:
+def read_wav_fileobj(
+    f, name: str = "<fileobj>", normalize: bool = True
+) -> Tuple[int, np.ndarray]:
     """Parse one RIFF/WAVE stream at the current position. Reading is bounded
     by the RIFF size field so a WAV embedded inside a kaldi wav ark (kaldiio
     WriteHelper((rate, int16)) entries) stops at the record boundary."""
@@ -54,6 +61,11 @@ def read_wav_fileobj(f, name: str = "<fileobj>") -> Tuple[int, np.ndarray]:
 
     if audio_format == 1:  # PCM
         if bits == 16:
+            if not normalize:
+                x = np.frombuffer(data, "<i2")
+                if channels > 1:
+                    x = x.reshape(-1, channels)
+                return sr, x
             x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
         elif bits == 32:
             x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0

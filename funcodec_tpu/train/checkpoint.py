@@ -48,8 +48,21 @@ def load_params(path: str, params_template: Any) -> Any:
 
 
 def load_checkpoint_params(path: str, model) -> Tuple[Any, RVQState]:
-    """Restore (params, rvq_state) for a model built from the same config."""
-    params, rvq_state = model.init(jax.random.PRNGKey(0))
+    """Restore (params, rvq_state) for a model built from the same config.
+
+    The init that builds the restore template runs on the host CPU backend:
+    on a tunneled TPU, default-device init is hundreds of tiny dispatches
+    (~60 s measured, scripts/probe_cli_stages.py) for arrays that are
+    immediately overwritten by the restored bytes anyway."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            params, rvq_state = model.init(jax.random.PRNGKey(0))
+    else:
+        params, rvq_state = model.init(jax.random.PRNGKey(0))
     template = {"params": _to_host(params), "rvq_state": _to_host(rvq_state)}
     with open(path, "rb") as f:
         restored = serialization.from_bytes(template, f.read())

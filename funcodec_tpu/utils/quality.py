@@ -8,7 +8,12 @@ so these native metrics make the <=0.05-ViSQOL-delta north star trackable:
   sqrt(mean_f (10 log10 Pref/Pdeg)^2) averaged over frames;
 - multi-scale log-mel distortion: L1 over log10-mel at windows 2^6..2^10
   (same frontend family as the training loss, codec_basic.py:522-540);
-- SI-SNR (dB): scale-invariant waveform fidelity.
+- SI-SNR (dB): scale-invariant waveform fidelity;
+- STOI (Taal 2011): perceptual intelligibility over one-third-octave
+  envelopes;
+- NSIM over a gammatone spectrogram: ViSQOL v3's similarity core (see the
+  NSIM section below) — the nearest native unit to the recipe's ViSQOL
+  acceptance numbers.
 
 All pure numpy/jax host-callable, no external wheels. Reported per-epoch on
 the validation dump (train/gan_trainer.py:validate) and by
@@ -196,6 +201,108 @@ def stoi(ref: np.ndarray, deg: np.ndarray, sr: int = 16000) -> float:
     return float(np.mean(np.stack(corrs)))
 
 
+# -- NSIM over a gammatone spectrogram: ViSQOL v3's similarity core ----------
+#
+# ViSQOL v3 (Chinen et al., "ViSQOL v3: An Open Source Production Ready
+# Objective Speech and Audio Metric", QoMEX 2020) scores a degraded signal by
+# (1) computing gammatone spectrograms of reference and degraded, (2)
+# comparing aligned patches with NSIM — the Neurogram Similarity Index
+# Measure (Hines & Harte, Speech Communication 2012), an SSIM adaptation
+# with luminance+structure terms over a 3x3 Gaussian window — and (3)
+# mapping mean NSIM to MOS with a fitted SVR. Codec reconstructions are
+# already time-aligned, so (2) needs no patch search here, and we report the
+# RAW mean NSIM in [~0, 1] rather than a MOS (the SVR weights are data, not
+# algorithm). This is the closest in-environment stand-in for the recipe's
+# ViSQOL acceptance harness (run.sh:249-295): deltas of this number play the
+# role of the <=0.05-ViSQOL-delta north star (BASELINE.json).
+
+
+def _hz_to_erbnum(f):
+    return 21.4 * np.log10(1.0 + 4.37 * f / 1000.0)
+
+
+def _erbnum_to_hz(e):
+    return (10.0 ** (e / 21.4) - 1.0) * 1000.0 / 4.37
+
+
+def _gammatone_power_weights(
+    sr: int, n_fft: int, n_bands: int, fmin: float, fmax: float
+) -> np.ndarray:
+    """(n_bands, F) power-domain weights of a 4th-order gammatone bank.
+
+    Magnitude response of an order-N gammatone centred at fc with bandwidth
+    b = 1.019 ERB(fc) is |H(f)| ~ [1 + ((f-fc)/b)^2]^(-N/2); squared for
+    power and peak-normalised per band. Centre frequencies are ERB-spaced
+    (the same spacing ViSQOL's gammatone filterbank uses)."""
+    f = np.linspace(0.0, sr / 2.0, n_fft // 2 + 1)
+    cfs = _erbnum_to_hz(
+        np.linspace(_hz_to_erbnum(fmin), _hz_to_erbnum(fmax), n_bands)
+    )
+    erb = 24.7 * (4.37 * cfs / 1000.0 + 1.0)
+    b = 1.019 * erb
+    u = (f[None, :] - cfs[:, None]) / b[:, None]
+    w = (1.0 + u**2) ** -4.0  # |H|^2 of a 4th-order filter
+    return w / w.max(axis=1, keepdims=True)
+
+
+def _gammatonegram_db(
+    x: np.ndarray, sr: int, n_fft: int, hop: int, n_bands: int,
+    fmin: float, fmax: float,
+) -> np.ndarray:
+    p = _stft_mag(x, n_fft, hop)  # (frames, F) power
+    w = _gammatone_power_weights(sr, n_fft, n_bands, fmin, fmax)
+    g = p @ w.T  # (frames, bands)
+    return 10.0 * np.log10(np.maximum(g, 1e-12))
+
+
+def _gauss3_filter(img: np.ndarray) -> np.ndarray:
+    """Separable 3x3 Gaussian (sigma=0.5, NSIM's window) with edge padding."""
+    k = np.array([np.exp(-2.0), 1.0, np.exp(-2.0)])
+    k = k / k.sum()
+    pad = np.pad(img, ((1, 1), (0, 0)), mode="edge")
+    img = k[0] * pad[:-2] + k[1] * pad[1:-1] + k[2] * pad[2:]
+    pad = np.pad(img, ((0, 0), (1, 1)), mode="edge")
+    return k[0] * pad[:, :-2] + k[1] * pad[:, 1:-1] + k[2] * pad[:, 2:]
+
+
+def nsim(
+    ref: np.ndarray,
+    deg: np.ndarray,
+    sr: int = 16000,
+    n_fft: int = 512,
+    hop: int = 256,
+    n_bands: int = 32,
+    fmin: float = 50.0,
+) -> float:
+    """Mean NSIM in [~0, 1] between gammatone spectrograms (higher = better).
+
+    l(r,d) = (2 mu_r mu_d + C1) / (mu_r^2 + mu_d^2 + C1)
+    s(r,d) = (cov + C2) / (sig_r sig_d + C2),  NSIM = mean(l * s)
+    with local moments from a 3x3 Gaussian window and C1=(0.01 L)^2,
+    C2=(0.03 L)^2 / 2 over the intensity range L (Hines & Harte 2012)."""
+    ref, deg = _align(ref, deg)
+    fmax = min(sr / 2.0, 12_000.0)
+    r = _gammatonegram_db(ref, sr, n_fft, hop, n_bands, fmin, fmax)
+    d = _gammatonegram_db(deg, sr, n_fft, hop, n_bands, fmin, fmax)
+    # shared floor 60 dB below the reference peak, as silence-vs-silence
+    # agreement should not be rewarded more than signal agreement
+    lo = r.max() - 60.0
+    r = np.maximum(r, lo) - lo
+    d = np.maximum(d, lo) - lo
+    L = max(float(r.max()), 1.0)
+    c1 = (0.01 * L) ** 2
+    c2 = (0.03 * L) ** 2 / 2.0
+
+    mu_r = _gauss3_filter(r)
+    mu_d = _gauss3_filter(d)
+    var_r = np.maximum(_gauss3_filter(r * r) - mu_r**2, 0.0)
+    var_d = np.maximum(_gauss3_filter(d * d) - mu_d**2, 0.0)
+    cov = _gauss3_filter(r * d) - mu_r * mu_d
+    lum = (2.0 * mu_r * mu_d + c1) / (mu_r**2 + mu_d**2 + c1)
+    struct = (cov + c2) / (np.sqrt(var_r) * np.sqrt(var_d) + c2)
+    return float(np.mean(lum * struct))
+
+
 def reconstruction_metrics(
     ref: np.ndarray, deg: np.ndarray, sr: int = 16000
 ) -> Dict[str, float]:
@@ -205,4 +312,5 @@ def reconstruction_metrics(
         "mel_distortion": mel_distortion(ref, deg, sr=sr),
         "si_snr_db": si_snr(ref, deg),
         "stoi": stoi(ref, deg, sr=sr),
+        "nsim": nsim(ref, deg, sr=sr),
     }

@@ -47,7 +47,7 @@ def make_corpus(root: str, n_utts: int, dur_s: float, sr: int = 16000) -> float:
 
 
 def run_mode(corpus, scp, out_dir, run_mod, batch_size, dtype, audio_s,
-             config, tag):
+             config, tag, model=None):
     from funcodec_tpu.cli.codec_inference import inference_pipeline
 
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -61,6 +61,7 @@ def run_mode(corpus, scp, out_dir, run_mod, batch_size, dtype, audio_s,
         bit_width=None,  # all 32 quantizers, matching bench.py
         run_mod=run_mod,
         dtype=dtype,
+        model=model,
     )
     dt = time.perf_counter() - t0
     log(f"{tag}: {dt:.1f}s wall for {audio_s:.0f} audio_s -> "
@@ -69,6 +70,8 @@ def run_mode(corpus, scp, out_dir, run_mod, batch_size, dtype, audio_s,
 
 
 def main():
+    from funcodec_tpu.cli.codec_inference import Speech2Token
+
     root = "/tmp/cli_bench"
     config = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -86,18 +89,28 @@ def main():
     results = {}
     B = 64  # 64 x 10 s per device batch
     for dtype in ("bfloat16", "float32"):
+        # cold = the one-shot CLI invocation cost (construct + compile-cache
+        # hit + serve); steady = server mode (prebuilt Speech2Token reused)
+        t0 = time.perf_counter()
+        model = Speech2Token(config, "", dtype=dtype, bit_width=None)
+        results[f"construct_{dtype}_s"] = time.perf_counter() - t0
+        log(f"construct ({dtype}): {results[f'construct_{dtype}_s']:.1f}s")
+
         tag = f"encode_decode_{dtype}_b{B}"
-        # warm pass compiles the two bucket shapes; timed pass is steady state
         run_mode(root, f"{root}/wav.scp", f"{root}/out_warm", "inference",
-                 B, dtype, audio_s, config, tag + "_warm")
-        results[tag] = run_mode(
+                 B, dtype, audio_s, config, tag + "_warm", model=model)
+        results[tag + "_steady"] = run_mode(
             root, f"{root}/wav.scp", f"{root}/out_{dtype}", "inference",
-            B, dtype, audio_s, config, tag,
+            B, dtype, audio_s, config, tag + "_steady", model=model,
         )
-        tag = f"encode_only_{dtype}_b{B}"
-        results[tag] = run_mode(
+        results[f"encode_only_{dtype}_b{B}_steady"] = run_mode(
             root, f"{root}/wav.scp", f"{root}/enc_{dtype}", "encode",
-            B, dtype, audio_s, config, tag,
+            B, dtype, audio_s, config, f"encode_only_{dtype}_b{B}_steady",
+            model=model,
+        )
+        results[tag + "_cold"] = run_mode(
+            root, f"{root}/wav.scp", f"{root}/out_cold", "inference",
+            B, dtype, audio_s, config, tag + "_cold", model=None,
         )
 
     with open("/tmp/bench_cli_serving.json", "w") as f:

@@ -1,0 +1,141 @@
+"""Decompose CLI serving wall time into stages (VERDICT r2 item 2 follow-up).
+
+The e2e CLI number on this environment rides the axon tunnel (host<->TPU
+over a network link), which is ~4 orders of magnitude slower than the PCIe
+link of a real v5e host. This probe measures each stage of the serving
+pipeline separately so the e2e number decomposes exactly:
+
+  - construct : Speech2Token build (model init on device + jit setup)
+  - compile   : first dispatch (trace + XLA compile, cached after)
+  - h2d       : staging one padded batch onto the device (fp32 vs int16)
+  - compute   : the encode+decode computation alone (device-resident args)
+  - d2h       : fetching tokens + int16 PCM for one batch
+  - host_read : wav decode + resample-check + wrap-pad for one batch
+  - host_write: PCM/token writing for one batch
+
+Writes /tmp/probe_cli_stages.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+LOG = "/tmp/probe_cli_stages.log"
+
+
+def log(msg):
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from funcodec_tpu.cli.codec_inference import Speech2Token, _bucket_length
+    from funcodec_tpu.data.wav_io import read_wav, write_wav
+
+    config = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "egs/LibriTTS/codec/conf/encodec_16k_n32_600k_step.yaml",
+    )
+    root = "/tmp/cli_bench"
+    assert os.path.exists(f"{root}/wav.scp"), "run bench_cli_serving first"
+    keys = [l.split()[0] for l in open(f"{root}/wav.scp")][:64]
+    paths = {l.split()[0]: l.split()[1] for l in open(f"{root}/wav.scp")}
+    r = {}
+
+    t0 = time.perf_counter()
+    model = Speech2Token(config, "", dtype="bfloat16", bit_width=None)
+    r["construct_s"] = time.perf_counter() - t0
+    log(f"construct: {r['construct_s']:.2f}s")
+
+    # host read: decode + pad one B=64 batch
+    t0 = time.perf_counter()
+    arrs = [read_wav(paths[k])[1] for k in keys]
+    lengths = [a.shape[0] for a in arrs]
+    target = _bucket_length(max(lengths), model.hop_length)
+    batch = np.stack([
+        np.pad(a, (0, target - a.shape[0]), mode="wrap") for a in arrs
+    ]).astype(np.float32)
+    r["host_read_s"] = time.perf_counter() - t0
+    log(f"host_read (decode+pad B=64): {r['host_read_s']:.2f}s")
+    nbytes_f32 = batch.nbytes
+
+    # h2d fp32 vs int16
+    t0 = time.perf_counter()
+    dev = jnp.asarray(batch)
+    dev.block_until_ready()
+    float(jnp.sum(dev[0, :8]))  # fence (block_until_ready is a no-op on axon)
+    r["h2d_f32_s"] = time.perf_counter() - t0
+    i16 = (batch * 32768.0).astype(np.int16)
+    t0 = time.perf_counter()
+    dev16 = jnp.asarray(i16)
+    float(jnp.sum(dev16[0, :8].astype(jnp.float32)))
+    r["h2d_i16_s"] = time.perf_counter() - t0
+    log(f"h2d: fp32 {nbytes_f32/1e6:.1f}MB {r['h2d_f32_s']:.2f}s "
+        f"({nbytes_f32/1e6/r['h2d_f32_s']:.1f} MB/s) | int16 {r['h2d_i16_s']:.2f}s")
+
+    # compile (first dispatch) then compute-only (device-resident, no fetch)
+    t0 = time.perf_counter()
+    out = model.dispatch(batch, need_recon=True, bit_width=None,
+                         pcm16_ilens=lengths)
+    float(jnp.sum(out["recon_pcm16"][0, :8].astype(jnp.float32)))
+    r["first_dispatch_s"] = time.perf_counter() - t0
+    log(f"first dispatch (compile+run): {r['first_dispatch_s']:.2f}s")
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = model.dispatch(batch, need_recon=True, bit_width=None,
+                             pcm16_ilens=lengths)
+        float(jnp.sum(out["recon_pcm16"][0, :8].astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    r["compute_s"] = best
+    log(f"compute (steady, incl h2d of batch + dispatch overhead): {best:.3f}s")
+
+    # d2h: tokens + pcm16
+    t0 = time.perf_counter()
+    tok, _, recon, _ = model.collect(out, need_sub_quants=False)
+    r["d2h_s"] = time.perf_counter() - t0
+    down = sum(np.asarray(x).nbytes for x in tok) + recon.nbytes
+    r["d2h_mb"] = down / 1e6
+    log(f"d2h: {down/1e6:.1f}MB {r['d2h_s']:.2f}s ({down/1e6/r['d2h_s']:.1f} MB/s)")
+
+    # host write: PCM + codecs.txt for the batch
+    os.makedirs("/tmp/probe_out", exist_ok=True)
+    t0 = time.perf_counter()
+    with open("/tmp/probe_out/codecs.txt", "w") as f:
+        for i, k in enumerate(keys):
+            clen = int(np.ceil(lengths[i] / model.hop_length))
+            write_wav(f"/tmp/probe_out/{k}.wav", recon[i][: lengths[i]], 16000)
+            f.write(k + " " + json.dumps(
+                [np.asarray(x)[:, i, :clen].tolist() for x in tok]) + "\n")
+    r["host_write_s"] = time.perf_counter() - t0
+    log(f"host_write (B=64 wavs + tokens): {r['host_write_s']:.2f}s")
+
+    audio_s = sum(lengths) / 16000
+    r["audio_s_per_batch"] = audio_s
+    r["device_audio_s_per_s"] = audio_s / r["compute_s"]
+    # real-host projection: PCIe >= 8 GB/s makes transfer negligible; the
+    # pipeline overlaps host read/write with compute, so e2e ~= max(stage)
+    bottleneck = max(r["compute_s"], r["host_read_s"], r["host_write_s"])
+    r["real_host_projection_audio_s_per_s"] = audio_s / bottleneck
+    r["real_host_bottleneck_stage"] = (
+        "compute" if bottleneck == r["compute_s"]
+        else "host_read" if bottleneck == r["host_read_s"] else "host_write"
+    )
+    with open("/tmp/probe_cli_stages.json", "w") as f:
+        json.dump(r, f, indent=2)
+    log("DONE " + json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

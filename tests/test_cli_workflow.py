@@ -205,3 +205,45 @@ def test_peek_wav_info(tmp_path):
     # non-wav bytes -> None, not an exception
     (tmp_path / "junk.bin").write_bytes(b"\x00" * 64)
     assert peek_wav_info(tmp_path / "junk.bin") is None
+
+
+def test_int16_transport_exactness(tmp_path):
+    """The serving pipeline ships PCM16 wavs to the device as raw int16 and
+    dequantizes there (x * 2^-15 in fp32 is exact); tokens come back as int16
+    transport and are widened on host. Both must be bit-identical to the
+    float32 host path."""
+    import jax.numpy as jnp
+
+    from funcodec_tpu.data.wav_io import read_wav, write_wav
+
+    x = np.clip(np.random.RandomState(3).randn(4096) * 0.5, -0.99, 0.99).astype(np.float32)
+    write_wav(tmp_path / "i.wav", x, 16000)
+    sr, raw = read_wav(tmp_path / "i.wav", normalize=False)
+    assert raw.dtype == np.int16
+    sr2, norm = read_wav(tmp_path / "i.wav")
+    dequant = np.asarray(jnp.asarray(raw).astype(jnp.float32) * (1.0 / 32768.0))
+    np.testing.assert_array_equal(dequant, norm)
+
+
+def test_pipeline_model_reuse(tiny_env):
+    """inference_pipeline(model=...) (server mode) must produce byte-identical
+    codecs.txt to the construct-per-call path."""
+    from funcodec_tpu.cli.codec_inference import Speech2Token, inference_pipeline
+
+    root = tiny_env["root"]
+    model = Speech2Token(str(root / "config.yaml"), str(root / "model.pth"),
+                         bit_width=None)
+    out_dir = root / "reuse_out"
+    for i in range(2):  # second call reuses every jitted fn
+        inference_pipeline(
+            output_dir=str(out_dir),
+            config_file=str(root / "config.yaml"),
+            model_file=str(root / "model.pth"),
+            data_path_and_name_and_type=[(str(root / "wav.scp"), "speech", "sound")],
+            batch_size=1,
+            bit_width=None,
+            run_mod="encode",
+            model=model,
+        )
+    ref = (root / "enc_out" / "codecs.txt").read_text()
+    assert (out_dir / "codecs.txt").read_text() == ref
