@@ -60,8 +60,12 @@ def enable_compile_cache() -> None:
     if _CACHE_DIR == "disabled":
         return
     try:
-        os.makedirs(_CACHE_DIR, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        # namespace by backend: XLA:CPU AOT entries embed host-feature flags
+        # that vary between processes and fail (noisily) to reload; keeping
+        # per-backend subdirs avoids cross-backend key collisions entirely
+        cache_dir = os.path.join(_CACHE_DIR, jax.default_backend())
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception as e:  # cache is an optimization, never a hard failure
         logging.warning("compilation cache unavailable: %s", e)
@@ -112,16 +116,17 @@ class Speech2Token:
         else:
             logging.warning("no model file %s; random init", model_file)
             self.params, self.rvq_state = _init_on_host(self.model)
-        if self.dtype == jnp.bfloat16:
-            # cast on host (half the transfer bytes, no per-leaf device ops)
-            self.params = jax.tree_util.tree_map(
-                lambda x: np.asarray(x).astype(jnp.bfloat16)
-                if np.asarray(x).dtype == np.float32 else np.asarray(x),
-                self.params,
-            )
         dev = jax.devices()[0]
         self.params = jax.device_put(self.params, dev)
         self.rvq_state = jax.device_put(self.rvq_state, dev)
+        if self.dtype == jnp.bfloat16:
+            # upload fp32, cast on device in ONE jitted tree_map: a host-side
+            # ml_dtypes bfloat16 astype of the full tree costs ~17 s on a
+            # 1-core host (probe_cli_stages.py) vs milliseconds on device
+            cast = jax.jit(lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, t))
+            self.params = cast(self.params)
         self._jitted: Dict[Any, Any] = {}
         self._pcm16_fn = None
 

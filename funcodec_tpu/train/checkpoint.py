@@ -50,20 +50,16 @@ def load_params(path: str, params_template: Any) -> Any:
 def load_checkpoint_params(path: str, model) -> Tuple[Any, RVQState]:
     """Restore (params, rvq_state) for a model built from the same config.
 
-    The init that builds the restore template runs on the host CPU backend:
-    on a tunneled TPU, default-device init is hundreds of tiny dispatches
-    (~60 s measured, scripts/probe_cli_stages.py) for arrays that are
-    immediately overwritten by the restored bytes anyway."""
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    if cpu is not None:
-        with jax.default_device(cpu):
-            params, rvq_state = model.init(jax.random.PRNGKey(0))
-    else:
-        params, rvq_state = model.init(jax.random.PRNGKey(0))
-    template = {"params": _to_host(params), "rvq_state": _to_host(rvq_state)}
+    The restore template only needs the tree structure and shapes, so it is
+    built with jax.eval_shape (a trace, no compile, no device): running a
+    real model.init here costs ~20 s of init compiles per fresh process
+    (scripts/probe_cli_stages.py) for arrays that are immediately
+    overwritten by the restored bytes anyway."""
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    params, rvq_state = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes
+    )
+    template = {"params": params, "rvq_state": _to_host(rvq_state)}
     with open(path, "rb") as f:
         restored = serialization.from_bytes(template, f.read())
     return restored["params"], RVQState(**{
