@@ -121,7 +121,14 @@ def bench_tpu(batch=256, seconds=10, sr=16000):
 
 def bench_train_tpu(batch=64, samples=40960):
     """Full GAN training step (both turns, EMA codebooks, all losses) with
-    mixed-precision bf16 at a steady-state (all codebooks inited) point."""
+    mixed-precision bf16 at a steady-state (all codebooks inited) point.
+
+    Uses the production shared-forward step (generator encode->RVQ->decode
+    computed once per step, stop_gradient'd fake into the disc turn) — the
+    trainer/CLI default since round 3; measured 1.11x over the
+    exact-reference two-forward step at this batch point. Also reports
+    MFU / HBM utilization from XLA's compiled cost analysis (the GAN step is
+    HBM-bound: AI ~18 FLOP/byte, see NOTES_ROUND3.md training roofline)."""
     import jax
     import jax.numpy as jnp
 
@@ -145,7 +152,10 @@ def bench_train_tpu(batch=64, samples=40960):
     opt_g = make_optimizer(lr=3e-4, betas=(0.5, 0.9))
     opt_d = make_optimizer(lr=3e-4, betas=(0.5, 0.9))
     step = jax.jit(
-        make_gan_train_step(model, disc, opt_g, opt_d, compute_dtype=jnp.bfloat16)
+        make_gan_train_step(
+            model, disc, opt_g, opt_d,
+            compute_dtype=jnp.bfloat16, shared_forward=True,
+        )
     )
     state = create_gan_train_state(params, disc_params, rvq_state, opt_g, opt_d)
     speech = jnp.asarray(
@@ -160,7 +170,18 @@ def bench_train_tpu(batch=64, samples=40960):
         state, stats = step(state, {"speech": speech}, rng)
         float(stats["generator_loss"])
         best = min(best, time.perf_counter() - t0)
-    return batch * samples / 16000 / best
+    mfu = hbm = None
+    try:
+        an = step.lower(state, {"speech": speech}, rng).compile().cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        tflops = float(an.get("flops", 0.0)) / 1e12
+        gbytes = float(an.get("bytes accessed", 0.0)) / 1e9
+        mfu = 100.0 * (tflops / best) / V5E_PEAK_TFLOPS
+        hbm = 100.0 * (gbytes / best) / V5E_PEAK_GBS
+    except Exception:
+        pass
+    return batch * samples / 16000 / best, mfu, hbm
 
 
 def bench_torch_reference(batch=1, seconds=10, sr=16000, iters=2):
@@ -202,9 +223,9 @@ def bench_torch_reference(batch=1, seconds=10, sr=16000, iters=2):
 def main():
     tpu = bench_tpu()
     try:
-        train_rate = bench_train_tpu()
+        train_rate, train_mfu, train_hbm = bench_train_tpu()
     except Exception:
-        train_rate = None
+        train_rate = train_mfu = train_hbm = None
     try:
         baseline = bench_torch_reference()
     except Exception:
@@ -221,6 +242,8 @@ def main():
         "mfu_pct": round(tpu["mfu_pct"], 2) if tpu["mfu_pct"] else None,
         "hbm_util_pct": round(tpu["hbm_util_pct"], 2) if tpu["hbm_util_pct"] else None,
         "train_bf16_b64_audio_s_per_s": round(train_rate, 2) if train_rate else None,
+        "train_mfu_pct": round(train_mfu, 2) if train_mfu else None,
+        "train_hbm_util_pct": round(train_hbm, 2) if train_hbm else None,
         "baseline": {
             "what": "PyTorch reference (funcodec) encode+decode on host CPU",
             "audio_s_per_s": round(baseline, 2) if baseline else None,
