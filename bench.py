@@ -17,10 +17,21 @@ north-star (>=5x PyTorch-GPU) is tracked separately.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _artifact(name):
+    """Measured-artifact JSONs committed under artifacts/ (see NOTES_ROUND3)."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts", name)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except Exception:
+        return None
 
 V5E_PEAK_TFLOPS = 197.0  # bf16
 V5E_PEAK_GBS = 819.0  # HBM
@@ -249,6 +260,20 @@ def main():
             "audio_s_per_s": round(baseline, 2) if baseline else None,
         },
     }
+    cli = _artifact("cli_serving_r3.json")
+    if cli:
+        # measured end-to-end wav.scp -> tokens+wavs through cli/codec_inference
+        # (tunnel-transport-bound on this 1-core host; real-host projection in
+        # artifacts/cli_stages_r3.json — see NOTES_ROUND3.md)
+        result["cli_e2e_bf16_audio_s_per_s"] = round(
+            cli["encode_decode_bfloat16_b64_steady"], 1
+        )
+    qa = _artifact("quality_adjudication_r3.json")
+    if qa and "worst_degradation" in qa:
+        w = qa["worst_degradation"]
+        result["bf16_quality_delta_worst"] = {
+            k: round(v, 4) for k, v in w.items()
+        }
     print(json.dumps(result))
 
 
