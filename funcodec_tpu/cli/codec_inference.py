@@ -60,9 +60,12 @@ def enable_compile_cache() -> None:
     if _CACHE_DIR == "disabled":
         return
     try:
-        # namespace by backend: XLA:CPU AOT entries embed host-feature flags
-        # that vary between processes and fail (noisily) to reload; keeping
-        # per-backend subdirs avoids cross-backend key collisions entirely
+        if jax.default_backend() == "cpu":
+            # XLA:CPU AOT entries embed compile-machine pseudo-features
+            # (+prefer-no-scatter/-gather) that never match at load time, so
+            # every cache hit degenerates into an error log + recompile;
+            # CPU compiles are cheap enough that the cache only pays on TPU
+            return
         cache_dir = os.path.join(_CACHE_DIR, jax.default_backend())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -642,12 +645,15 @@ def get_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = get_parser().parse_args(argv)
     triples = [tuple(s.split(",")) for s in args.data_path_and_name_and_type]
+    s2t = None
     if args.stat_flops:
         import logging
 
         from funcodec_tpu.utils.misc import codec_flops_tree
 
-        s2t = Speech2Token(args.config_file, args.model_file, dtype=args.dtype)
+        s2t = Speech2Token(args.config_file, args.model_file, dtype=args.dtype,
+                           sampling_rate=args.sampling_rate,
+                           bit_width=args.bit_width)
         logging.info(
             "\n%s",
             codec_flops_tree(s2t.model, s2t.params, s2t.rvq_state,
@@ -667,6 +673,7 @@ def main(argv=None):
         need_sub_quants=args.need_sub_quants,
         indices_save_type=args.indices_save_type,
         dtype=args.dtype,
+        model=s2t,
     )
 
 

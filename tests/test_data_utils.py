@@ -223,7 +223,7 @@ def test_quality_metrics_sanity():
     assert abs(si_snr(ref, 0.3 * noisy1) - si_snr(ref, noisy1)) < 0.1
 
     m = reconstruction_metrics(ref, noisy1)
-    assert set(m) == {"lsd_db", "mel_distortion", "si_snr_db", "stoi"}
+    assert set(m) == {"lsd_db", "mel_distortion", "si_snr_db", "stoi", "nsim"}
 
 
 def test_codec_eval_cli(tmp_path):
