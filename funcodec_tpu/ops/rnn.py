@@ -47,8 +47,12 @@ def init_lstm(key, input_size: int, hidden_size: int, num_layers: int) -> List[P
     return params
 
 
-def _lstm_layer(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """One LSTM layer over (B, T, C) -> (B, T, H)."""
+def _lstm_layer(p: Params, x: jnp.ndarray, carry=None):
+    """One LSTM layer over (B, T, C) -> ((B, T, H), final (h, c)).
+
+    `carry` is an optional initial (h, c) — the streaming-session state
+    (models/streaming.py); None starts from zeros (whole-utterance mode).
+    """
     B = x.shape[0]
     H = p["w_hh"].shape[0]
     # Hoist the input projection: one big (B*T, in) @ (in, 4H) matmul.
@@ -69,17 +73,36 @@ def _lstm_layer(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    h0 = jnp.zeros((B, H), x.dtype)
-    c0 = jnp.zeros((B, H), x.dtype)
-    _, ys = lax.scan(step, (h0, c0), gates_x)
-    return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+    if carry is None:
+        carry = (
+            jnp.zeros((B, H), x.dtype),
+            jnp.zeros((B, H), x.dtype),
+        )
+    final, ys = lax.scan(step, carry, gates_x)
+    return jnp.swapaxes(ys, 0, 1), final  # (B, T, H), (h, c)
 
 
 def apply_slstm(params: List[Params], x: jnp.ndarray, skip: bool = True) -> jnp.ndarray:
     """Stacked LSTM with residual skip (lstm.py:22-28). x: (B, T, C)."""
     y = x
     for p in params:
-        y = _lstm_layer(p, y)
+        y, _ = _lstm_layer(p, y)
     if skip:
         y = y + x
     return y
+
+
+def apply_slstm_streaming(
+    params: List[Params], x: jnp.ndarray, carries, skip: bool = True
+):
+    """apply_slstm with explicit per-layer (h, c) carries for chunked
+    streaming: feeding chunks through this with threaded carries is exactly
+    the whole-utterance apply_slstm. carries: list of (h, c) per layer."""
+    y = x
+    new_carries = []
+    for p, c in zip(params, carries):
+        y, nc = _lstm_layer(p, y, carry=c)
+        new_carries.append(nc)
+    if skip:
+        y = y + x
+    return y, new_carries
