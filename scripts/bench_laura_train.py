@@ -40,9 +40,12 @@ def main():
     log(f"params: {n_params/1e6:.2f}M  devices: {jax.devices()}")
 
     Tc, Lt = 752, 48  # 30 s of 25 Hz codec groups (bucketed), text length
+    # knee from the axon-crash bisect (artifacts/axon_repro_r3.json):
+    # B=24 compiles, B=28 kills the remote compile helper
+    batches = [int(b) for b in os.environ.get("LAURA_B", "14,24").split(",")]
     results = {}
     for tag, dtype in (("fp32", "float32"), ("bf16", "bfloat16")):
-        for B in (14, 28):
+        for B in batches:
             opts = LauraTrainerOptions(
                 output_dir="/tmp/laura_train_bench", max_epoch=1,
                 train_dtype=dtype, scheduler=None,
