@@ -109,6 +109,31 @@ def test_decoder_stream_matches_full(trim_right_ratio):
     np.testing.assert_allclose(streamed, full, rtol=0, atol=2e-4)
 
 
+def test_decoder_empty_input_flush_cascade():
+    """Ending a stream with a zero-length flush (session.flush() path): the
+    held-back transposed-conv tails cascade through downstream layers and the
+    concatenation still equals the whole-utterance output (trim < 1)."""
+    cfg = causal_cfg(trim_right_ratio=0.5)
+    dec = SEANetDecoder(cfg)
+    params = dec.init(jax.random.PRNGKey(9))
+    T = 16
+    z = jnp.asarray(
+        np.random.RandomState(9).randn(1, T, cfg.dimension).astype(np.float32)
+    )
+    full = np.asarray(dec(params, z))
+    state = init_stream_state(dec.layers, 1)
+    outs = []
+    for i, (lo, hi) in enumerate([(0, 8), (8, 16)]):
+        y, state = stream_layers(dec.layers, params, state, z[:, lo:hi], primed=(i > 0))
+        outs.append(np.asarray(y))
+    empty = jnp.zeros((1, 0, cfg.dimension), jnp.float32)
+    tail, _ = stream_layers(dec.layers, params, state, empty, primed=True, flush=True)
+    outs.append(np.asarray(tail))
+    streamed = np.concatenate(outs, axis=1)
+    assert streamed.shape == full.shape, (streamed.shape, full.shape)
+    np.testing.assert_allclose(streamed, full, rtol=0, atol=2e-4)
+
+
 def _tiny_codec(cfg, key=3, n_q=4):
     from funcodec_tpu.models.encodec import Encodec, EncodecConfig
     from funcodec_tpu.models.quantizer import Quantizer, QuantizerConfig
