@@ -148,6 +148,11 @@ def main(argv=None):
         # "bfloat16" = mixed-precision training (fp32 masters, bf16 compute);
         # the reference's train_dtype/AMP knob (abs_task.py --train_dtype)
         train_dtype=args.train_dtype or config.get("train_dtype", "float32"),
+        # device-resident corpus cache: crops sliced on device, per-step H2D
+        # is just row indices + offsets (data/device_cache.py)
+        device_cache=config.get("device_cache", False),
+        device_cache_crop=config.get("speech_max_length", -1),
+        stats_interval=config.get("stats_interval", 1),
     )
 
     out = Path(args.output_dir)

@@ -184,6 +184,14 @@ class CodecDataset:
             data = self.preprocess(uid, data)
         return uid, data
 
+    def raw_item(self, uid_or_idx) -> Tuple[str, Dict[str, np.ndarray]]:
+        """Item WITHOUT preprocessing — device-resident caching
+        (data/device_cache.py) stages full utterances and crops on device."""
+        uid = (
+            self.uttids[uid_or_idx] if isinstance(uid_or_idx, int) else uid_or_idx
+        )
+        return uid, {name: src[uid] for name, src in self.sources.items()}
+
 
 def collate_fn(
     batch: Sequence[Tuple[str, Dict[str, np.ndarray]]],

@@ -108,6 +108,19 @@ class TrainerOptions:
     # — single RVQ EMA advance, one-step-stale D in the adv loss — are
     # documented at make_gan_train_step)
     shared_forward: bool = True
+    # Stage the training corpus on device once and slice random crops there
+    # (data/device_cache.py): per-step H2D drops from B x crop floats to
+    # ~2B int32 scalars. For corpora that fit in HBM; crop-only preprocessing
+    # (no RIR/noise/per-crop normalization). device_cache_crop is the crop
+    # length (speech_max_length).
+    device_cache: bool = False
+    device_cache_crop: int = -1
+    # Fetch + register step stats every N iterations (1 = every step, exact
+    # reference semantics). N>1 removes the per-step device->host fence so
+    # consecutive steps pipeline under async dispatch — on the axon tunnel the
+    # fence is a ~40 ms RTT per step. Curves sample every Nth step; max_update
+    # and step checkpoints are also only checked at fetch points.
+    stats_interval: int = 1
 
 
 class GANCodecTrainer:
@@ -236,32 +249,42 @@ class GANCodecTrainer:
             self._tracer = StepTraceCapture(
                 o.profile_dir, o.profile_start_step, o.profile_num_steps
             )
+        # host-mirrored global step: int(state.step) per iteration would fetch
+        # a device scalar (a full tunnel RTT) every step
+        host_step = int(state.step)
+        si = max(1, o.stats_interval)
         t_last = time.time()
         for i, (keys, batch) in enumerate(loader):
-            self._tracer.tick(int(state.step))
+            self._tracer.tick(host_step)
             t_data = time.time()
             dev_batch = put_batch({"speech": batch["speech"]}, self.mesh)
             state, stats = step_fn(state, dev_batch, rng)
+            host_step += 1
+            if (i + 1) % si != 0:
+                continue  # no host sync: steps pipeline under async dispatch
             # per-iteration phase timing (reporter.py:263-280 measure_time
-            # role): the float() conversions below fetch scalars, which
-            # fences the async dispatch, so step_time is wall-per-step
-            # ONE batched transfer: per-scalar float(v) would pay the
-            # dispatch+fetch round-trip (~38 ms over the axon tunnel,
-            # NOTES_ROUND2) once per stat instead of once per step
+            # role): the device_get below fetches scalars, which fences the
+            # async dispatch, so step_time is wall-per-step averaged over the
+            # stats_interval window. ONE batched transfer: per-scalar float(v)
+            # would pay the dispatch+fetch round-trip (~38 ms over the axon
+            # tunnel, NOTES_ROUND2) once per stat instead of once per window.
             host_stats = {
                 k: float(v) for k, v in jax.device_get(stats).items()
             }
             now = time.time()
-            host_stats["iter_time"] = now - t_last
-            host_stats["step_time"] = now - t_data
+            host_stats["iter_time"] = (now - t_last) / si
+            host_stats["step_time"] = (
+                (now - t_data) if si == 1 else (now - t_last) / si
+            )
             t_last = now
             sub.register(host_stats, weight=batch["speech"].shape[0])
             if (i + 1) % o.log_interval == 0:
+                # si should divide log_interval for an even logging cadence
                 logging.info(sub.log_message())
-            if o.max_update is not None and int(state.step) >= o.max_update:
+            if o.max_update is not None and host_step >= o.max_update:
                 logging.info("reached max_update=%d", o.max_update)
                 break
-            if o.save_ckpt_every_steps and int(state.step) % o.save_ckpt_every_steps == 0:
+            if o.save_ckpt_every_steps and host_step % o.save_ckpt_every_steps < si:
                 self._save_step_checkpoint(state)
         self._tracer.stop()
         self.reporter.finish_epoch(sub)
@@ -449,6 +472,29 @@ class GANCodecTrainer:
 
         train_batches_base = make_batches(train_ids, train_dataset)
 
+        device_cache = None
+        if o.device_cache:
+            if getattr(train_dataset, "preprocess", None) is not None:
+                p = train_dataset.preprocess
+                if getattr(p, "rirs", None) or getattr(p, "noises", None) or \
+                        getattr(p, "speech_volume_normalize", None) or \
+                        getattr(p, "speech_rms_normalize", False):
+                    raise ValueError(
+                        "device_cache supports crop-only preprocessing; "
+                        "RIR/noise/normalization are per-crop host transforms"
+                    )
+            from funcodec_tpu.data.device_cache import DeviceCachedCrops
+
+            device_cache = DeviceCachedCrops(
+                train_dataset, train_ids, crop_len=o.device_cache_crop,
+                seed=o.seed,
+            )
+            logging.info(
+                "device cache: %d utts staged on device (%.1f MB), "
+                "crop=%d on device", len(train_ids),
+                device_cache.nbytes() / 1e6, o.device_cache_crop,
+            )
+
         for epoch in range(start_epoch, o.max_epoch + 1):
             self.reporter.set_epoch(epoch)
             batches = list(train_batches_base)
@@ -456,9 +502,12 @@ class GANCodecTrainer:
             if o.num_iters_per_epoch:
                 reps = -(-o.num_iters_per_epoch // max(len(batches), 1))
                 batches = (batches * reps)[: o.num_iters_per_epoch]
-            loader = PrefetchLoader(
-                train_dataset, batches, collate_fn, num_workers=o.num_workers
-            )
+            if device_cache is not None:
+                loader = device_cache.epoch_loader(batches, epoch)
+            else:
+                loader = PrefetchLoader(
+                    train_dataset, batches, collate_fn, num_workers=o.num_workers
+                )
             state, train_stats = self.train_one_epoch(state, loader, epoch, rng)
 
             v_batches = unsorted_batches(valid_ids, o.batch_size, drop_last=False)

@@ -29,6 +29,12 @@ cfg.update(
     num_valid_dump_wavs=16,   # score 16 valid wavs/epoch, not 5 (VERDICT weak 7)
     keep_nbest_models=5,
     log_interval=50,
+    # TPU-native long-run data path: corpus staged on device, crops sliced
+    # there (the host-path per-step H2D over the axon tunnel is ~4 s/step on
+    # this 1-core box, data/device_cache.py); stats fetched every 5 steps so
+    # dispatch pipelines across the tunnel RTT
+    device_cache=True,
+    stats_interval=5,
 )
 yaml.safe_dump(cfg, open("/tmp/longrun_conf.yaml", "w"))
 EOF

@@ -206,3 +206,45 @@ def test_shape_file_avoids_corpus_decode(corpus, tmp_path):
         f"batch building decoded {CountingDataset.reads} utterances despite "
         "the shape file"
     )
+
+
+def test_codec_train_device_cache(corpus, tmp_path):
+    """device_cache=True + stats_interval>1: corpus staged on device once,
+    crops sliced on device (data/device_cache.py), stats fetched every N
+    steps (no per-step host fence). Same checkpoint/reporter contract."""
+    import json
+
+    from funcodec_tpu.cli.codec_train import main
+
+    cfg = dict(TINY_CONFIG)
+    cfg.update(device_cache=True, stats_interval=2, num_iters_per_epoch=4,
+               max_epoch=1, log_interval=2)
+    p = tmp_path / "config.yaml"
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out = tmp_path / "exp"
+    main([
+        "--config", str(p),
+        "--output_dir", str(out),
+        "--train_wav_scp", str(corpus / "wav.scp"),
+        "--valid_wav_scp", str(corpus / "wav.scp"),
+    ])
+    assert (out / "1epoch.ckpt").exists()
+    rep = json.loads((out / "reporter.json").read_text())
+    tr = rep["stats"]["1"]["train"]
+    assert np.isfinite(tr["generator_loss"])
+    assert np.isfinite(tr["discriminator_loss"])
+    # with RIR/noise augmentation the cache must refuse
+    import pytest as _pytest
+
+    cfg_bad = dict(cfg)
+    cfg_bad["rir_scp"] = str(corpus / "wav.scp")
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg_bad, f)
+    with _pytest.raises(ValueError, match="device_cache"):
+        main([
+            "--config", str(p),
+            "--output_dir", str(tmp_path / "exp2"),
+            "--train_wav_scp", str(corpus / "wav.scp"),
+            "--valid_wav_scp", str(corpus / "wav.scp"),
+        ])
