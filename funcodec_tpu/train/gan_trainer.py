@@ -253,6 +253,18 @@ class GANCodecTrainer:
         # a device scalar (a full tunnel RTT) every step
         host_step = int(state.step)
         si = max(1, o.stats_interval)
+        # logging fires at the stats-fetch cadence, so a log_interval that si
+        # does not divide would only fire at lcm(si, log_interval) — possibly
+        # never within an epoch (ADVICE r3). Round it up to a multiple of si.
+        log_interval = -(-o.log_interval // si) * si
+        if log_interval != o.log_interval and not getattr(
+            self, "_warned_log_interval", False
+        ):
+            logging.warning(
+                "log_interval %d rounded up to %d (multiple of "
+                "stats_interval %d)", o.log_interval, log_interval, si,
+            )
+            self._warned_log_interval = True
         t_last = time.time()
         for i, (keys, batch) in enumerate(loader):
             self._tracer.tick(host_step)
@@ -260,6 +272,16 @@ class GANCodecTrainer:
             dev_batch = put_batch({"speech": batch["speech"]}, self.mesh)
             state, stats = step_fn(state, dev_batch, rng)
             host_step += 1
+            # host-side controls run EVERY step (not at the stats cadence):
+            # with stats_interval=N the old placement overshot max_update by
+            # up to N-1 steps and gave step checkpoints non-round names
+            # (ADVICE r3). host_step is host-resident — checking it costs
+            # nothing; the checkpoint save fences anyway.
+            if o.save_ckpt_every_steps and host_step % o.save_ckpt_every_steps == 0:
+                self._save_step_checkpoint(state)
+            if o.max_update is not None and host_step >= o.max_update:
+                logging.info("reached max_update=%d", o.max_update)
+                break
             if (i + 1) % si != 0:
                 continue  # no host sync: steps pipeline under async dispatch
             # per-iteration phase timing (reporter.py:263-280 measure_time
@@ -278,14 +300,8 @@ class GANCodecTrainer:
             )
             t_last = now
             sub.register(host_stats, weight=batch["speech"].shape[0])
-            if (i + 1) % o.log_interval == 0:
-                # si should divide log_interval for an even logging cadence
+            if (i + 1) % log_interval == 0:
                 logging.info(sub.log_message())
-            if o.max_update is not None and host_step >= o.max_update:
-                logging.info("reached max_update=%d", o.max_update)
-                break
-            if o.save_ckpt_every_steps and host_step % o.save_ckpt_every_steps < si:
-                self._save_step_checkpoint(state)
         self._tracer.stop()
         self.reporter.finish_epoch(sub)
         return state, sub.to_dict()
@@ -487,12 +503,13 @@ class GANCodecTrainer:
 
             device_cache = DeviceCachedCrops(
                 train_dataset, train_ids, crop_len=o.device_cache_crop,
-                seed=o.seed,
+                seed=o.seed, mesh=self.mesh,
             )
             logging.info(
-                "device cache: %d utts staged on device (%.1f MB), "
-                "crop=%d on device", len(train_ids),
-                device_cache.nbytes() / 1e6, o.device_cache_crop,
+                "device cache: %d utts staged on device (%.1f MB, t_max=%d, "
+                "padding overhead %.2fx), crop=%d on device", len(train_ids),
+                device_cache.nbytes() / 1e6, device_cache.t_max,
+                device_cache.padding_overhead, o.device_cache_crop,
             )
 
         for epoch in range(start_epoch, o.max_epoch + 1):
