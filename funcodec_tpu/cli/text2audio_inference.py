@@ -9,6 +9,7 @@ continual mode encodes prompt audio to a codec prefix; outputs both `gen`
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
 from typing import Dict, Optional, Union
@@ -292,7 +293,9 @@ def main(argv=None):
             text=text, prompt_text=prompts_text.get(key), prompt_audio=prompt_audio
         )
 
-    def emit(key, out):
+    eval_rows = {}
+
+    def emit(key, out, prompt_audio=None):
         for tag, wav in out.items():
             if wav.size:
                 save_audio(
@@ -302,6 +305,33 @@ def main(argv=None):
         logging.info("%s: gen %.2fs, gen_only_lm %.2fs", key,
                      out["gen"].size / args.sampling_rate,
                      out["gen_only_lm"].size / args.sampling_rate)
+        # objective proxies (VERDICT r3 item 6): per-utterance JSON the next
+        # training run regresses against (prompt-speaker cosine when a
+        # zero-shot prompt exists; reference acceptance analogue:
+        # egs/LibriTTS/text2speech_laura/README.md speaker-similarity)
+        from funcodec_tpu.utils.tts_quality import tts_metrics
+
+        row = {}
+        for tag, wav in out.items():
+            m = tts_metrics(wav, prompt=prompt_audio, sr=args.sampling_rate)
+            row.update({f"{tag}_{k}": v for k, v in m.items()})
+        eval_rows[key] = row
+
+    def _finish_eval():
+        if not eval_rows:
+            return
+        keys = sorted({k for row in eval_rows.values() for k in row})
+        mean = {}
+        for k in keys:
+            vals = [
+                row[k] for row in eval_rows.values()
+                if k in row and np.isfinite(row[k])
+            ]
+            if vals:
+                mean[k] = float(np.mean(vals))
+        with open(os.path.join(args.output_dir, "tts_eval.json"), "w") as f:
+            json.dump({"mean": mean, "per_utt": eval_rows}, f, indent=2)
+        logging.info("tts_eval.json: %s", mean)
 
     entries = list(texts.items())
     if args.batch_size <= 1:
@@ -312,14 +342,15 @@ def main(argv=None):
                 prompt_text=item["prompt_text"],
                 prompt_audio=item["prompt_audio"],
             )
-            emit(key, out)
+            emit(key, out, prompt_audio=item["prompt_audio"])
     else:
         for i in range(0, len(entries), args.batch_size):
             chunk = entries[i : i + args.batch_size]
             items = [load_item(k, t) for k, t in chunk]
             outs = pipeline.batch_synthesize(items)
-            for (key, _), out in zip(chunk, outs):
-                emit(key, out)
+            for (key, _), out, item in zip(chunk, outs, items):
+                emit(key, out, prompt_audio=item["prompt_audio"])
+    _finish_eval()
 
 
 if __name__ == "__main__":

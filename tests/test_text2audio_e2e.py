@@ -181,6 +181,16 @@ def test_laura_inference_cli(tts_env):
     for w in wavs:
         sr, x = read_wav(w)
         assert sr == SR and np.isfinite(x).all()
+    # objective proxies JSON (VERDICT r3 item 6): prompt-speaker cosine +
+    # durations, per-utt and mean
+    import json
+
+    rep = json.loads((root / "syn" / "tts_eval.json").read_text())
+    assert "s0" in rep["per_utt"]
+    row = rep["per_utt"]["s0"]
+    assert "gen_gen_seconds" in row or "gen_only_lm_gen_seconds" in row
+    # prompt was given: at least one speaker_cos key must be present
+    assert any(k.endswith("speaker_cos") for k in row), row
 
 
 def test_laura_inference_cli_batched(tts_env):
