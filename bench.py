@@ -249,7 +249,8 @@ def main():
     # acceptance contract (BASELINE.json): STOI drop <=0.01, SI-SNR drop
     # <=0.5 dB, LSD increase <=0.1 dB. Absent or failing artifact -> the
     # honest headline is the fp32 bit-exact path.
-    qa = _artifact("quality_adjudication_r3.json")
+    qa = _artifact("quality_adjudication_r4.json") or _artifact(
+        "quality_adjudication_r3.json")
     bf16_ok = False
     if qa and "worst_degradation" in qa:
         w = qa["worst_degradation"]
@@ -280,7 +281,7 @@ def main():
             "audio_s_per_s": round(baseline, 2) if baseline else None,
         },
     }
-    cli = _artifact("cli_serving_r3.json")
+    cli = _artifact("cli_serving_r4.json") or _artifact("cli_serving_r3.json")
     if cli:
         # measured end-to-end wav.scp -> tokens+wavs through cli/codec_inference
         # (tunnel-transport-bound on this 1-core host; real-host projection in
@@ -292,6 +293,18 @@ def main():
         result["bf16_quality_delta_worst"] = {
             k: round(v, 4) for k, v in qa["worst_degradation"].items()
         }
+    # knee benchmarks for the other model-card families (VERDICT r3 item 4):
+    # FreqCodec gr8/gr1 serving + Laura train/decode at their measured knees
+    fc = _artifact("freqcodec_r4.json")
+    if fc:
+        for k in ("gr8_bf16_audio_s_per_s", "gr1_bf16_audio_s_per_s"):
+            if fc.get(k) is not None:
+                result[f"freqcodec_{k}"] = round(fc[k], 1)
+    la = _artifact("laura_r4.json")
+    if la:
+        for k, v in la.items():
+            if isinstance(v, (int, float)):
+                result[f"laura_{k}"] = round(v, 2)
     print(json.dumps(result))
 
 

@@ -47,25 +47,32 @@ def make_corpus(root: str, n_utts: int, dur_s: float, sr: int = 16000) -> float:
 
 
 def run_mode(corpus, scp, out_dir, run_mod, batch_size, dtype, audio_s,
-             config, tag, model=None):
+             config, tag, model=None, repeats=1):
+    """Best-of-N wall measurements: the axon tunnel adds 4-9 s of run-to-run
+    wall spread (NOTES_ROUND3), which swamped round-3's single-shot stage
+    table (encode-only 'slower' than encode+decode, VERDICT r3 weak 3) —
+    best-of-N recovers the reproducible floor."""
     from funcodec_tpu.cli.codec_inference import inference_pipeline
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    inference_pipeline(
-        output_dir=out_dir,
-        config_file=config,
-        model_file="",
-        data_path_and_name_and_type=[(scp, "speech", "sound")],
-        batch_size=batch_size,
-        bit_width=None,  # all 32 quantizers, matching bench.py
-        run_mod=run_mod,
-        dtype=dtype,
-        model=model,
-    )
-    dt = time.perf_counter() - t0
-    log(f"{tag}: {dt:.1f}s wall for {audio_s:.0f} audio_s -> "
-        f"{audio_s/dt:.0f} audio_s/s")
+    walls = []
+    for r in range(repeats):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        inference_pipeline(
+            output_dir=out_dir,
+            config_file=config,
+            model_file="",
+            data_path_and_name_and_type=[(scp, "speech", "sound")],
+            batch_size=batch_size,
+            bit_width=None,  # all 32 quantizers, matching bench.py
+            run_mod=run_mod,
+            dtype=dtype,
+            model=model,
+        )
+        walls.append(time.perf_counter() - t0)
+    dt = min(walls)
+    log(f"{tag}: best {dt:.1f}s of {[round(w, 1) for w in walls]} for "
+        f"{audio_s:.0f} audio_s -> {audio_s/dt:.0f} audio_s/s")
     return audio_s / dt
 
 
@@ -101,12 +108,12 @@ def main():
                  B, dtype, audio_s, config, tag + "_warm", model=model)
         results[tag + "_steady"] = run_mode(
             root, f"{root}/wav.scp", f"{root}/out_{dtype}", "inference",
-            B, dtype, audio_s, config, tag + "_steady", model=model,
+            B, dtype, audio_s, config, tag + "_steady", model=model, repeats=3,
         )
         results[f"encode_only_{dtype}_b{B}_steady"] = run_mode(
             root, f"{root}/wav.scp", f"{root}/enc_{dtype}", "encode",
             B, dtype, audio_s, config, f"encode_only_{dtype}_b{B}_steady",
-            model=model,
+            model=model, repeats=3,
         )
         results[tag + "_cold"] = run_mode(
             root, f"{root}/wav.scp", f"{root}/out_cold", "inference",
