@@ -51,6 +51,11 @@ def run_branch(mode: str, base: str, corpus: str, extra_epochs: int) -> str:
         shutil.rmtree(out)
     os.makedirs(out)
     shutil.copy(f"{base}/checkpoint.ckpt", f"{out}/checkpoint.ckpt")
+    # the trainer's resume() reads reporter.json from the OUTPUT dir for
+    # start_epoch (gan_trainer.py:436-441); without it the branch would
+    # restart at epoch 1 and train max_epoch full epochs instead of
+    # extra_epochs continuation epochs
+    shutil.copy(f"{base}/reporter.json", f"{out}/reporter.json")
 
     cfg = yaml.safe_load(open(f"{base}/config.yaml"))
     start_epoch = cfg["max_epoch"]
