@@ -57,19 +57,26 @@ def main():
     results = {}
     # shared = one generator forward per step (production default);
     # twofwd = exact reference two-forward semantics
+    # BT_TAGS / BT_BS restrict the grid (each cell is a 1-10 min axon remote
+    # compile); default = the full round-3 grid
+    want_tags = os.environ.get("BT_TAGS", "").split(",") if os.environ.get("BT_TAGS") else None
+    want_bs = ([int(b) for b in os.environ.get("BT_BS", "").split(",")]
+               if os.environ.get("BT_BS") else (16, 32, 64))
     for tag, compute_dtype, shared in (
         ("fp32_twofwd", None, False),
         ("fp32_shared", None, True),
         ("bf16_twofwd", jnp.bfloat16, False),
         ("bf16_shared", jnp.bfloat16, True),
     ):
+        if want_tags and tag not in want_tags:
+            continue
         step = jax.jit(
             make_gan_train_step(
                 model, disc, opt_g, opt_d, compute_dtype=compute_dtype,
                 shared_forward=shared,
             )
         )
-        for B in (16, 32, 64):
+        for B in want_bs:
             state = create_gan_train_state(
                 params, disc_params, rvq_state, opt_g, opt_d
             )

