@@ -111,18 +111,23 @@ def rel_pe(length: int, d_model: int) -> np.ndarray:
 
 
 def apply_abs_pos(x: jnp.ndarray, scaled_alpha: Optional[jnp.ndarray] = None):
-    """x*sqrt(d) + pe (embedding.py:80-92); scaled variant uses alpha."""
+    """x*sqrt(d) + pe (embedding.py:80-92); scaled variant uses alpha.
+
+    The PE table follows x's dtype: a fp32 table added to a bf16 stream
+    would silently promote every downstream matmul back to fp32 and undo
+    mixed precision (jax promotion semantics)."""
     d = x.shape[-1]
-    pe = jnp.asarray(sinusoidal_pe(x.shape[1], d))
+    pe = jnp.asarray(sinusoidal_pe(x.shape[1], d)).astype(x.dtype)
     if scaled_alpha is not None:
         return x + scaled_alpha * pe
     return x * math.sqrt(d) + pe
 
 
 def apply_rel_pos(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (x*sqrt(d), pos_emb (1, 2T-1, d)) (embedding.py:314-330)."""
+    """Returns (x*sqrt(d), pos_emb (1, 2T-1, d)) (embedding.py:314-330).
+    pos follows x's dtype — see apply_abs_pos."""
     d = x.shape[-1]
-    pos = jnp.asarray(rel_pe(x.shape[1], d))[None]
+    pos = jnp.asarray(rel_pe(x.shape[1], d))[None].astype(x.dtype)
     return x * math.sqrt(d), pos
 
 

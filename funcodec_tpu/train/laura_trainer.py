@@ -136,9 +136,16 @@ class LauraTrainer:
                 key = jax.random.fold_in(rng, state.step)
 
                 def loss_fn(params):
+                    # cast the floating INPUT too: bf16 params @ fp32 text
+                    # would silently promote every downstream matmul back to
+                    # fp32 (jax type promotion), making train_dtype=bfloat16
+                    # a no-op — caught by the round-4 bench where bf16 and
+                    # fp32 measured identical steps/s. Loss softmaxes are
+                    # fp32 islands inside the model (laura.py:352,378,440).
                     return model.forward(
                         cast_floating(params, compute_dtype),
-                        batch["text"], batch["text_lengths"],
+                        cast_floating(batch["text"], compute_dtype),
+                        batch["text_lengths"],
                         batch["codec"], batch["codec_lengths"],
                         key,
                     )
