@@ -30,6 +30,15 @@ from funcodec_tpu.ops.rnn import apply_slstm, init_lstm
 
 Layer = Tuple[str, Any]  # kind in {conv, act, snake, lstm, tfm, resblock, squeeze, unsqueeze}
 
+# Rematerialize each resblock in the backward pass (jax.checkpoint): saves
+# only the block INPUT instead of every intra-block intermediate (two conv
+# outputs + activations + shortcut), trading ~one extra block forward per
+# backward for the saved-activation HBM traffic the GAN train step is bound
+# by (5-9% MFU vs 70%+ HBM utilization, artifacts/roofline_train_*.json).
+# Module-level switch in the PALLAS_RVQ style: flip before tracing the train
+# step (inference never runs a backward, so it is unaffected either way).
+REMAT_RESBLOCKS = False
+
 
 def _seq_tfm_cfg(spec):
     """TransformerConfig for the SEANet bottleneck transformer
@@ -532,14 +541,19 @@ def apply_layers(
             y = apply_encoder(_seq_tfm_cfg(spec), p, x, mask)
             x = (x + y) if skip else y
         elif kind == "resblock":
-            fused = _try_fused_resblock(spec, p, x)
-            if fused is not None:
-                x = fused
-            else:
+
+            def _resblock(x_, p_):
+                fused = _try_fused_resblock(spec, p_, x_)
+                if fused is not None:
+                    return fused
                 block, shortcut = spec
-                y = apply_layers(block, p["block"], x, precision=precision)
-                s = x if shortcut is None else apply_conv(shortcut, p["shortcut"], x, precision=precision)
-                x = s + y
+                y = apply_layers(block, p_["block"], x_, precision=precision)
+                s = x_ if shortcut is None else apply_conv(
+                    shortcut, p_["shortcut"], x_, precision=precision
+                )
+                return s + y
+
+            x = (jax.checkpoint(_resblock) if REMAT_RESBLOCKS else _resblock)(x, p)
         elif kind == "squeeze":
             # (B, F, T, C) with F==1 -> (B, T, C); ReshapeModule (encoder :240-246)
             x = jnp.squeeze(x, axis=1)

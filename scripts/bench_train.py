@@ -38,6 +38,14 @@ def main():
     )
 
     log(f"devices: {jax.devices()}")
+    # BT_REMAT=1: rematerialize SEANet resblocks in the backward (A/B for the
+    # HBM-bound step; see seanet.REMAT_RESBLOCKS). Key suffix "_remat".
+    remat = os.environ.get("BT_REMAT", "0") == "1"
+    if remat:
+        import funcodec_tpu.models.seanet as seanet_mod
+
+        seanet_mod.REMAT_RESBLOCKS = True
+        log("REMAT_RESBLOCKS=True")
     model, disc = _build_flagship(kmeans_init=True)
     params, rvq_state = model.init(jax.random.PRNGKey(0))
     disc_params = disc.init(jax.random.PRNGKey(1))
@@ -104,11 +112,21 @@ def main():
                 f"{1/dt:.2f} steps/s, {audio_s/dt:.0f} audio_s/s trained, "
                 f"gen_loss={float(stats['generator_loss']):.3f}"
             )
-            results[f"{tag}_b{B}_steps_per_s"] = 1 / dt
-            results[f"{tag}_b{B}_audio_s_per_s"] = audio_s / dt
+            suffix = "_remat" if remat else ""
+            results[f"{tag}_b{B}{suffix}_steps_per_s"] = 1 / dt
+            results[f"{tag}_b{B}{suffix}_audio_s_per_s"] = audio_s / dt
 
+    # merge-update so successive restricted runs (BT_BS/BT_TAGS/BT_REMAT)
+    # accumulate into one file instead of clobbering earlier cells
+    merged = {}
+    if os.path.exists("/tmp/bench_train.json"):
+        try:
+            merged = json.load(open("/tmp/bench_train.json"))
+        except Exception:
+            merged = {}
+    merged.update(results)
     with open("/tmp/bench_train.json", "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
     log("DONE " + json.dumps(results))
 
 

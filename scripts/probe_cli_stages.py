@@ -121,11 +121,24 @@ def main():
     r["compute_s"] = best
     log(f"compute (steady, incl h2d of batch + dispatch overhead): {best:.3f}s")
 
-    # d2h: tokens + pcm16
+    # d2h: tokens + pcm16. Each rep needs FRESH device buffers — jax caches
+    # the host copy after the first np.asarray of a buffer, so collecting the
+    # same `out` twice measures a host memcpy, not the tunnel/PCIe transfer.
+    # Dispatch anew per rep and fence compute with the scalar fetch first, so
+    # the timed collect() is transfer-only.
     def d2h():
-        return model.collect(out, need_sub_quants=False)
+        o = model.dispatch(batch, need_recon=True, bit_width=None,
+                           pcm16_ilens=lengths)
+        float(jnp.sum(o["recon_pcm16"][0, :8].astype(jnp.float32)))  # compute fence
+        t0 = time.perf_counter()
+        res = model.collect(o, need_sub_quants=False)
+        return time.perf_counter() - t0, res
 
-    r["d2h_s"], (tok, _, recon, _) = best_of(d2h)
+    best_d2h = float("inf")
+    for _ in range(N_REPS):
+        dt, (tok, _, recon, _) = d2h()
+        best_d2h = min(best_d2h, dt)
+    r["d2h_s"] = best_d2h
     down = sum(np.asarray(x).nbytes for x in tok) + recon.nbytes
     r["d2h_mb"] = down / 1e6
     log(f"d2h (best of {N_REPS}): {down/1e6:.1f}MB {r['d2h_s']:.2f}s "
