@@ -43,8 +43,12 @@ def main():
     # knee from the axon-crash bisect (artifacts/axon_repro_r3.json):
     # B=24 compiles, B=28 kills the remote compile helper
     batches = [int(b) for b in os.environ.get("LAURA_B", "14,24").split(",")]
+    want = (os.environ.get("LAURA_TAGS", "").split(",")
+            if os.environ.get("LAURA_TAGS") else None)
     results = {}
     for tag, dtype in (("fp32", "float32"), ("bf16", "bfloat16")):
+        if want and tag not in want:
+            continue
         for B in batches:
             opts = LauraTrainerOptions(
                 output_dir="/tmp/laura_train_bench", max_epoch=1,
