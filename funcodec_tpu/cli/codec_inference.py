@@ -91,7 +91,19 @@ def _init_on_host(model):
 
 
 class Speech2Token:
-    """Codec model wrapper with run_mod in {inference, encode, decode, decode_emb}."""
+    """Codec model wrapper with run_mod in {inference, encode, decode, decode_emb}.
+
+    `data_parallel=N` serves one batch over N chips: a 1-D ``jax.sharding.Mesh``
+    ("data" axis) with params/codebooks replicated and the batch sharded on its
+    batch dimension — GSPMD splits every op across the mesh with zero
+    collectives (pure data parallelism), so serving throughput scales with
+    chips while the public API and outputs stay identical. Batches whose size
+    is not a multiple of N are padded by repeating the last row; pad rows are
+    stripped in collect(). data_parallel=-1 uses every visible device.
+    The reference scales serving by forking one process per GPU and splitting
+    the scp (egs/LibriTTS/codec/encoding_decoding.sh:70-98); here one process
+    drives the whole mesh.
+    """
 
     def __init__(
         self,
@@ -100,6 +112,7 @@ class Speech2Token:
         dtype: str = "float32",
         sampling_rate: int = 16_000,
         bit_width: Optional[int] = 8_000,
+        data_parallel: int = 1,
     ):
         enable_compile_cache()
         self.config = load_config(config_file)
@@ -119,9 +132,30 @@ class Speech2Token:
         else:
             logging.warning("no model file %s; random init", model_file)
             self.params, self.rvq_state = _init_on_host(self.model)
-        dev = jax.devices()[0]
-        self.params = jax.device_put(self.params, dev)
-        self.rvq_state = jax.device_put(self.rvq_state, dev)
+
+        ndev = len(jax.devices())
+        dp = ndev if (data_parallel is not None and data_parallel < 0) else int(
+            data_parallel or 1
+        )
+        if dp > ndev:
+            logging.warning("data_parallel=%d > %d visible devices; clamping",
+                            dp, ndev)
+            dp = ndev
+        self.data_parallel = dp
+        if dp > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            self.mesh = Mesh(np.asarray(jax.devices()[:dp]), ("data",))
+            self._repl = NamedSharding(self.mesh, PartitionSpec())
+            self._row_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+            self.params = jax.device_put(self.params, self._repl)
+            self.rvq_state = jax.device_put(self.rvq_state, self._repl)
+        else:
+            self.mesh = None
+            dev = jax.devices()[0]
+            self._row_sharding = dev
+            self.params = jax.device_put(self.params, dev)
+            self.rvq_state = jax.device_put(self.rvq_state, dev)
         if self.dtype == jnp.bfloat16:
             # upload fp32, cast on device in ONE jitted tree_map: a host-side
             # ml_dtypes bfloat16 astype of the full tree costs ~17 s on a
@@ -216,6 +250,16 @@ class Speech2Token:
             self._pcm16_fn = jax.jit(fn)
         return self._pcm16_fn(recon, jnp.asarray(np.asarray(ilens, np.int32)))
 
+    def _put_rows(self, arr: np.ndarray):
+        """Place a (B, ...) host batch on the device (or sharded over the
+        mesh's "data" axis), padding B up to a multiple of the data-parallel
+        degree by repeating the last row. Returns (device_array, n_pad_rows);
+        collect() strips the pad rows back off."""
+        pad = (-arr.shape[0]) % self.data_parallel if self.data_parallel > 1 else 0
+        if pad:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+        return jax.device_put(arr, self._row_sharding), pad
+
     def dispatch(
         self,
         speech: np.ndarray,
@@ -241,22 +285,25 @@ class Speech2Token:
             if bit_width is not None:
                 nq = int(max(bit_width // self.bits_per_quant, 1))
             # tokens arrive int64 from json; int32 halves the upload
-            speech = np.asarray(speech[:, :, :nq], np.int32)
+            x, row_pad = self._put_rows(np.asarray(speech[:, :, :nq], np.int32))
             fn = self._get_fn("decode", True, None, use_scale)
-            out = fn(self.params, self.rvq_state, jnp.asarray(speech))
+            out = fn(self.params, self.rvq_state, x)
         elif run_mod == "decode_emb":
+            x, row_pad = self._put_rows(np.asarray(speech))
             fn = self._get_fn("decode_emb", True, None, use_scale)
-            out = fn(self.params, self.rvq_state, jnp.asarray(speech))
+            out = fn(self.params, self.rvq_state, x)
         else:
             speech = np.asarray(speech)
             if speech.dtype != np.int16:  # int16 rides the wire raw
                 speech = speech.astype(np.float32, copy=False)
-            x = jnp.asarray(speech)
+            x, row_pad = self._put_rows(speech)
             fn = self._get_fn(run_mod, need_recon or run_mod == "inference", bit_width, use_scale)
             out = fn(self.params, self.rvq_state, x)
+        out = dict(out)
         if pcm16_ilens is not None and out.get("recon_speech") is not None:
-            out = dict(out)
-            out["recon_pcm16"] = self._pcm16(out.pop("recon_speech"), pcm16_ilens)
+            ilens = list(pcm16_ilens) + [0] * row_pad
+            out["recon_pcm16"] = self._pcm16(out.pop("recon_speech"), ilens)
+        out["_row_pad"] = row_pad
         return out
 
     @staticmethod
@@ -283,11 +330,20 @@ class Speech2Token:
         if codes is not None and codes[0] is not None:
             # int16 was a transport encoding only; hand out int32
             codes = [np.asarray(c, np.int32) for c in codes]
+        recon, sub_quants = fetched["recon"], fetched["sub_quants"]
+        row_pad = out.get("_row_pad", 0)
+        if row_pad:  # strip the data-parallel alignment rows (_put_rows)
+            if codes is not None and codes[0] is not None:
+                codes = [c[:, :-row_pad] for c in codes]  # (n_q, B, T)
+            if recon is not None:
+                recon = recon[:-row_pad]  # (B, T)
+            if sub_quants is not None and sub_quants[0] is not None:
+                sub_quants = [s[:, :-row_pad] for s in sub_quants]  # (n_q,B,T,D)
         return (
             codes,
             out.get("code_embeddings"),
-            fetched["recon"],
-            fetched["sub_quants"],
+            recon,
+            sub_quants,
         )
 
     def __call__(
@@ -385,6 +441,7 @@ def inference_pipeline(
     model: Optional[Speech2Token] = None,
     num_reader_threads: Optional[int] = None,
     num_writer_threads: Optional[int] = None,
+    data_parallel: int = 1,
 ) -> List[Dict[str, Any]]:
     """The encoding_decoding.sh stage-1/2 driver (codec_inference.py:164-382).
 
@@ -422,6 +479,7 @@ def inference_pipeline(
         model = Speech2Token(
             config_file, model_file, dtype=dtype,
             sampling_rate=sampling_rate, bit_width=bit_width,
+            data_parallel=data_parallel,
         )
     os.makedirs(output_dir, exist_ok=True)
     hop = model.hop_length
@@ -701,6 +759,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_writer_threads", type=int, default=None,
                         help="wav encode/write workers (default: cpu "
                              "count, <=16)")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="serve each batch sharded over this many chips "
+                             "(1-D data mesh, params replicated); -1 = all "
+                             "visible devices — replaces the reference's "
+                             "per-GPU process forking")
     parser.add_argument("--stat_flops", action="store_true",
                         help="print the per-layer FLOPs/params tree before "
                              "running (codec_inference.py:328-342)")
@@ -718,7 +781,8 @@ def main(argv=None):
 
         s2t = Speech2Token(args.config_file, args.model_file, dtype=args.dtype,
                            sampling_rate=args.sampling_rate,
-                           bit_width=args.bit_width)
+                           bit_width=args.bit_width,
+                           data_parallel=args.data_parallel)
         logging.info(
             "\n%s",
             codec_flops_tree(s2t.model, s2t.params, s2t.rvq_state,
@@ -741,6 +805,7 @@ def main(argv=None):
         model=s2t,
         num_reader_threads=args.num_reader_threads,
         num_writer_threads=args.num_writer_threads,
+        data_parallel=args.data_parallel,
     )
 
 
