@@ -1,0 +1,396 @@
+"""Continuous-batching TTS serving session for Laura codec LMs.
+
+The reference decodes strictly batch-1, rebuilding the full prefix every
+token (funcodec/bin/text2audio_inference.py -> laura_model.py:501-548,
+"not use state"). This repo's `decode_codec_batch` already advances B
+streams through one shared KV-cache while_loop — but in LOCKSTEP: the batch
+runs until its LAST row emits eos, so early finishers burn their slot doing
+masked work. Under mixed generation lengths that wastes a large fraction of
+slot-steps (measured in artifacts/tts_serving_r4.json).
+
+`LauraServingSession` is the TPU-native fix — vLLM-style continuous
+batching shaped for XLA's static-shape compilation model:
+
+  * B fixed SLOTS over one (B, capacity) KV cache; all shapes static, so
+    exactly two jitted programs serve the whole session (admit + segment).
+  * The decode loop runs in SEGMENTS of `segment_steps` iterations inside
+    one `lax.while_loop` dispatch; between segments the host harvests
+    finished rows and admits queued requests into freed slots.
+  * Admission writes the request's prefix into the cache window
+    [head - llm_len, head) for its slot (one `apply_encoder_step` call on a
+    single-row cache view) and sets the row's valid-key lower bound to
+    head - llm_len. All rows share the global write head, so every row's
+    occupied cache slots are CONTIGUOUS and its relative-position distances
+    are exactly those of a fresh batch-1 decode — stale keys from the
+    slot's previous occupant sit below the lower bound and are masked out
+    of every attention.
+  * Per-row PRNG keys reproduce `decode_codec`'s sampling stream exactly:
+    a session decode of a request equals the batch-1 decode of the same
+    request with the same key (tests/test_tts_serving.py).
+
+Cache capacity is a budget: a request is only admitted while
+head + max_new < capacity; when every slot is idle the head rewinds to the
+prefix budget (no zeroing needed — validity masks already exclude stale
+slots). Supports rel_pos/none position encodings (the shipped LauraTTS
+topology); split-PE needs per-row absolute positions and keeps to the
+lockstep path.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from funcodec_tpu.models import transformer as tfm
+from funcodec_tpu.models.transformer import (
+    KVCache,
+    apply_encoder_step,
+    init_kv_cache,
+    precompute_rel_proj,
+)
+
+
+@struct.dataclass
+class SessionState:
+    cache: KVCache
+    logits: jnp.ndarray  # (B, nq*V) last logits per slot
+    toks: jnp.ndarray  # (B, max_new, nq) int32 emitted tokens
+    counts: jnp.ndarray  # (B,) int32 emitted so far
+    live: jnp.ndarray  # (B,) bool — slot actively generating
+    keys: jnp.ndarray  # (B, 2) uint32 per-row PRNG keys
+    valid_key: jnp.ndarray  # (B, capacity) bool attention validity
+
+
+class LauraServingSession:
+    """Slot-based continuous-batching decode over one Laura codec LM.
+
+    Usage::
+
+        sess = LauraServingSession(model, params, num_slots=8)
+        sess.submit("utt1", text_feats, key=jax.random.PRNGKey(1))
+        ...
+        finished = sess.drain()       # {uid: (T, nq) int32 tokens}
+
+    or incrementally: ``submit()`` any time, ``poll()`` per scheduling tick.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        num_slots: int = 8,
+        max_new: int = 30 * 25,
+        prefix_budget: int = 256,
+        capacity: Optional[int] = None,
+        sampling: Union[bool, int, float] = 0.8,
+        segment_steps: int = 25,
+    ):
+        cfg, lm_cfg = model.cfg, model.codec_lm_cfg
+        if cfg.lm_pe_type == "split" or lm_cfg.pos_enc_type not in (
+            "rel_pos", "none"
+        ):
+            raise NotImplementedError(
+                "continuous batching needs position-shift-invariant attention "
+                "(rel_pos/none); split-PE models use decode_codec_batch"
+            )
+        self.model = model
+        self.params = params
+        self.cfg, self.lm_cfg = cfg, lm_cfg
+        self.B = int(num_slots)
+        self.max_new = int(max_new)
+        self.prefix_budget = int(prefix_budget)
+        self.capacity = int(
+            capacity if capacity is not None
+            else prefix_budget + 2 * (max_new + 1)
+        )
+        assert self.capacity >= self.prefix_budget + self.max_new + 1
+        self.sampling = sampling
+        self.segment_steps = int(segment_steps)
+        self.eos = cfg.codebook_size + cfg.sos_eos
+
+        cache_dtype = params["lm_decoder"]["w"].dtype
+        nq = cfg.predict_nq
+        v_out = params["lm_decoder"]["w"].shape[1] // nq
+        cache = init_kv_cache(lm_cfg, self.B, self.capacity, dtype=cache_dtype)
+        # head starts at the prefix budget so the first admission window
+        # [head - llm_len, head) is in range for any llm_len <= budget
+        cache = cache.replace(length=jnp.int32(self.prefix_budget))
+        self.state = SessionState(
+            cache=cache,
+            logits=jnp.zeros((self.B, nq * v_out), jnp.float32),
+            toks=jnp.zeros((self.B, self.max_new, nq), jnp.int32),
+            counts=jnp.zeros((self.B,), jnp.int32),
+            live=jnp.zeros((self.B,), bool),
+            keys=jnp.zeros((self.B, 2), jnp.uint32),
+            valid_key=jnp.zeros((self.B, self.capacity), bool),
+        )
+        # loop-invariant per-layer pos-projected rel-PE tables (device)
+        self._rel_proj = precompute_rel_proj(
+            lm_cfg, params["codec_lm"], self.capacity
+        )
+        self._admit_fn = None
+        self._segment_fn = None
+
+        self._queue: deque = deque()  # (uid, emb_pad, llm_len, key, prompt)
+        self._slot_uid: List[Optional[str]] = [None] * self.B
+        self._prompts: Dict[str, np.ndarray] = {}
+        self._finished: Dict[str, np.ndarray] = {}
+        # utilization accounting for the A/B bench
+        self.stats = {"segments": 0, "slot_steps": 0, "live_steps": 0,
+                      "emitted": 0, "resets": 0}
+
+    # ------------------------------------------------------------------ API
+
+    def submit(
+        self,
+        uid: str,
+        text_feats: np.ndarray,  # (Lt, D) raw text features (or (Lt,) ids)
+        key,
+        prompt: Optional[np.ndarray] = None,  # (P, nq) continual tokens
+    ) -> None:
+        """Queue one request. `key` drives this request's sampling stream
+        (same key => same tokens as model.decode_codec)."""
+        emb_pad, llm_len = self._prefix_embedding(text_feats, prompt)
+        nq = self.cfg.predict_nq
+        self._prompts[uid] = (
+            np.asarray(prompt, np.int32).reshape(-1, nq)
+            if prompt is not None and len(prompt)
+            else np.zeros((0, nq), np.int32)
+        )
+        self._queue.append((uid, emb_pad, llm_len, jnp.asarray(key, jnp.uint32)))
+
+    def poll(self) -> Dict[str, np.ndarray]:
+        """One scheduling tick: admit what fits, run one decode segment,
+        harvest finished rows. Returns {uid: (T, nq) tokens} finished this
+        tick (prompt included, eos removed — decode_codec semantics)."""
+        self._admit_ready()
+        if not any(u is not None for u in self._slot_uid):
+            return self._pop_finished()
+        self.state, steps, live_steps = self._segment()(
+            self.params, self.state, self._rel_proj
+        )
+        live, counts, steps, live_steps = jax.device_get(
+            (self.state.live, self.state.counts, steps, live_steps)
+        )
+        self.stats["segments"] += 1
+        self.stats["slot_steps"] += int(steps) * self.B
+        self.stats["live_steps"] += int(live_steps)
+        self._harvest(live, counts)
+        return self._pop_finished()
+
+    def drain(self) -> Dict[str, np.ndarray]:
+        """Run ticks until the queue and all slots are empty."""
+        out: Dict[str, np.ndarray] = {}
+        while self._queue or any(u is not None for u in self._slot_uid):
+            out.update(self.poll())
+        return out
+
+    # ----------------------------------------------------------- scheduling
+
+    def _admit_ready(self) -> None:
+        head = int(self.state.cache.length)
+        if self._queue and head + self.max_new >= self.capacity:
+            if not any(u is not None for u in self._slot_uid):
+                # every slot idle: rewind the head — stale cache slots stay,
+                # masked out by each new row's valid-key lower bound
+                self.state = self.state.replace(
+                    cache=self.state.cache.replace(
+                        length=jnp.int32(self.prefix_budget)
+                    ),
+                    valid_key=jnp.zeros_like(self.state.valid_key),
+                )
+                self.stats["resets"] += 1
+                head = self.prefix_budget
+            else:
+                return  # finish the in-flight rows first
+        for slot in range(self.B):
+            if not self._queue:
+                break
+            if self._slot_uid[slot] is not None:
+                continue
+            uid, emb_pad, llm_len, key = self._queue.popleft()
+            self.state = self._admit()(
+                self.params, self.state, emb_pad, jnp.int32(llm_len),
+                jnp.int32(slot), key, self._rel_proj,
+            )
+            self._slot_uid[slot] = uid
+
+    def _harvest(self, live: np.ndarray, counts: np.ndarray) -> None:
+        done_slots = [
+            s for s in range(self.B)
+            if self._slot_uid[s] is not None and not live[s]
+        ]
+        if not done_slots:
+            return
+        rows = jax.device_get(self.state.toks[np.asarray(done_slots)])
+        for row, s in zip(rows, done_slots):
+            uid = self._slot_uid[s]
+            gen = row[: counts[s]]
+            self._finished[uid] = np.concatenate(
+                [self._prompts.pop(uid), gen], axis=0
+            ).astype(np.int32)
+            self.stats["emitted"] += int(counts[s])
+            self._slot_uid[s] = None
+
+    def _pop_finished(self) -> Dict[str, np.ndarray]:
+        out, self._finished = self._finished, {}
+        return out
+
+    # -------------------------------------------------------------- jit fns
+
+    def _prefix_embedding(self, text_feats, prompt) -> Tuple[jnp.ndarray, int]:
+        """Exact [sos, text, task](+prompt) prefix embedding, right-aligned
+        into the static prefix budget (mirrors decode_codec's prefix path,
+        so session tokens match batch-1 tokens for the same key)."""
+        model, params = self.model, self.params
+        text = jnp.asarray(text_feats)[None]
+        tl = jnp.asarray([np.asarray(text_feats).shape[0]])
+        text_h, tl = model.encode_text(params, text, tl)
+        lt = int(tl[0])
+        text_h = text_h[:, :lt]
+        if prompt is not None and len(prompt):
+            codec = jnp.asarray(prompt, jnp.int32)[None]
+            inputs, _ = model.build_llm_io(
+                params, text_h, jnp.asarray([lt]), codec=codec,
+                codec_lengths=jnp.asarray([len(prompt)]),
+            )
+        else:
+            inputs, _ = model.build_llm_io(params, text_h, jnp.asarray([lt]))
+        emb = tfm.apply_embed(self.lm_cfg, params["codec_lm"], inputs)[0]
+        llm_len = emb.shape[1]
+        if llm_len > self.prefix_budget:
+            raise ValueError(
+                f"prefix {llm_len} exceeds prefix_budget {self.prefix_budget}"
+            )
+        emb_pad = jnp.pad(emb, ((0, 0), (self.prefix_budget - llm_len, 0), (0, 0)))
+        return emb_pad, llm_len
+
+    def _admit(self):
+        """Jitted slot admission: prefill the request's prefix into cache
+        window [head - llm_len, head) of `slot` and arm the row."""
+        if self._admit_fn is not None:
+            return self._admit_fn
+        lm_cfg = self.lm_cfg
+        LP, capacity = self.prefix_budget, self.capacity
+
+        def admit(params, state: SessionState, emb_pad, llm_len, slot, key,
+                  rel_proj):
+            g = state.cache.length
+            row_cache = KVCache(
+                k=[lax.dynamic_slice_in_dim(k, slot, 1, 0) for k in state.cache.k],
+                v=[lax.dynamic_slice_in_dim(v, slot, 1, 0) for v in state.cache.v],
+                length=g - LP,
+            )
+            key_pos = jnp.arange(capacity)
+            valid_row = key_pos >= (g - llm_len)  # (capacity,)
+            amask = jnp.broadcast_to(valid_row[None, None, :], (1, LP, capacity))
+            h, row_cache = apply_encoder_step(
+                lm_cfg, params["codec_lm"], row_cache, emb_pad,
+                attend_mask=amask, rel_proj=rel_proj,
+            )
+            logits_row = tfm._apply_linear(params["lm_decoder"], h[:, -1])[0]
+            cache = KVCache(
+                k=[
+                    lax.dynamic_update_slice(k, rk, (slot, 0, 0, 0))
+                    for k, rk in zip(state.cache.k, row_cache.k)
+                ],
+                v=[
+                    lax.dynamic_update_slice(v, rv, (slot, 0, 0, 0))
+                    for v, rv in zip(state.cache.v, row_cache.v)
+                ],
+                length=g,  # admission does not advance the head
+            )
+            zero_row = jnp.zeros((1,) + state.toks.shape[1:], state.toks.dtype)
+            return state.replace(
+                cache=cache,
+                logits=state.logits.at[slot].set(
+                    logits_row.astype(state.logits.dtype)
+                ),
+                toks=lax.dynamic_update_slice(state.toks, zero_row, (slot, 0, 0)),
+                counts=state.counts.at[slot].set(0),
+                live=state.live.at[slot].set(True),
+                keys=state.keys.at[slot].set(key),
+                valid_key=state.valid_key.at[slot].set(valid_row),
+            )
+
+        self._admit_fn = jax.jit(admit, donate_argnums=(1,))
+        return self._admit_fn
+
+    def _segment(self):
+        """Jitted decode segment: up to segment_steps AR iterations for all
+        live rows (one dispatch). Per-row keys replay decode_codec's stream:
+        split once per sampled group, nq-way split inside."""
+        if self._segment_fn is not None:
+            return self._segment_fn
+        model, cfg, lm_cfg = self.model, self.cfg, self.lm_cfg
+        B, nq = self.B, self.cfg.predict_nq
+        S, max_new, eos = self.segment_steps, self.max_new, self.eos
+        sampling = self.sampling
+
+        def segment(params, state: SessionState, rel_proj):
+            def sample_rows(subs, logits):
+                def one(sub, logits_row):
+                    scores = logits_row.reshape(nq, -1)
+                    ks = jax.random.split(sub, nq)
+                    return jax.vmap(
+                        lambda kk, s: model._sample_group(kk, s, sampling)
+                    )(ks, scores).astype(jnp.int32)
+
+                return jax.vmap(one)(subs, logits)
+
+            def cond(st):
+                i, _, state = st
+                return jnp.logical_and(i < S, jnp.any(state.live))
+
+            def body(st):
+                i, ls, state = st
+                ls = ls + jnp.sum(state.live.astype(jnp.int32))
+                ks = jax.vmap(jax.random.split)(state.keys)  # (B, 2, 2)
+                keys = jnp.where(state.live[:, None], ks[:, 0], state.keys)
+                groups = sample_rows(ks[:, 1], state.logits)  # (B, nq)
+                hits_eos = jnp.any(groups == eos, axis=-1)
+                emit = jnp.logical_and(state.live, ~hits_eos)
+                idx = jnp.minimum(state.counts, max_new - 1)
+                rows = jnp.arange(B)
+                cur = state.toks[rows, idx]
+                toks = state.toks.at[rows, idx].set(
+                    jnp.where(emit[:, None], groups, cur)
+                )
+                counts = state.counts + emit.astype(jnp.int32)
+                live = jnp.logical_and(emit, counts < max_new)
+
+                # all rows step together (dead rows write masked junk);
+                # clamp sampled ids out of the codebook-embedding range
+                safe = jnp.where(emit[:, None], groups, 0)
+                dense = model.calc_dense_vector(
+                    params, safe[:, None, :], jnp.ones((B,), jnp.int32)
+                )
+                x = tfm.apply_embed(lm_cfg, params["codec_lm"], dense)[0]
+                h, cache = apply_encoder_step(
+                    lm_cfg, params["codec_lm"], state.cache, x,
+                    attend_mask=state.valid_key[:, None, :], rel_proj=rel_proj,
+                )
+                logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
+                logits = jnp.where(
+                    live[:, None], logits.astype(state.logits.dtype),
+                    state.logits,
+                )
+                return i + 1, ls, state.replace(
+                    cache=cache, logits=logits, toks=toks, counts=counts,
+                    live=live, keys=keys,
+                )
+
+            i, ls, state = lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.int32(0), state)
+            )
+            return state, i, ls
+
+        self._segment_fn = jax.jit(segment, donate_argnums=(1,))
+        return self._segment_fn

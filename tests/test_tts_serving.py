@@ -1,0 +1,179 @@
+"""Continuous-batching TTS serving session: exactness vs batch-1 decode.
+
+The session's contract (models/tts_serving.py): for any request, a
+continuous-batching decode with slot reuse, mixed co-tenants, and head
+rewinds produces EXACTLY the tokens of `model.decode_codec` for the same
+(text, prompt, key) — rel-pos attention is shift-invariant, so the shared
+write head preserves every per-request relative distance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from funcodec_tpu.models.laura import LauraConfig, LauraGenModel
+from funcodec_tpu.models.transformer import TransformerConfig
+from funcodec_tpu.models.tts_serving import LauraServingSession
+
+
+def _tiny_model():
+    cfg = LauraConfig(
+        input_size=16, num_quantizers=4, codebook_size=24,
+        codebook_dim=12, predict_nq=2,
+    )
+    enc_cfg = TransformerConfig(
+        input_size=16, attention_dim=16, attention_heads=2,
+        linear_units=24, num_blocks=1, input_layer="linear",
+        pos_enc_type="rel_pos", activation="swish",
+    )
+    codec_enc_cfg = TransformerConfig(
+        input_size=12, attention_dim=16, attention_heads=2,
+        linear_units=24, num_blocks=1, input_layer="linear",
+        pos_enc_type="rel_pos", activation="swish",
+    )
+    lm_cfg = TransformerConfig(
+        input_size=12, attention_dim=16, attention_heads=2,
+        linear_units=24, num_blocks=2, input_layer="linear_relu",
+        pos_enc_type="rel_pos",
+    )
+    model = LauraGenModel(cfg, enc_cfg, codec_enc_cfg, lm_cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    params["quantizer_codebook"] = (
+        jax.random.normal(
+            jax.random.PRNGKey(7), params["quantizer_codebook"].shape
+        )
+        * 0.5
+    )
+    return model, params
+
+
+def _requests(n, rng):
+    """Ragged texts, some with continual prompts, one key per request."""
+    reqs = []
+    for i in range(n):
+        lt = int(rng.randint(3, 8))
+        text = rng.randn(lt, 16).astype(np.float32)
+        plen = int(rng.randint(0, 4)) if i % 2 else 0
+        prompt = (
+            rng.randint(0, 24, (plen, 2)).astype(np.int64) if plen else None
+        )
+        reqs.append((f"utt{i}", text, prompt, jax.random.PRNGKey(100 + i)))
+    return reqs
+
+
+def _singles(model, params, reqs, max_new, sampling):
+    out = {}
+    for uid, text, prompt, key in reqs:
+        toks = model.decode_codec(
+            params,
+            jnp.asarray(text)[None],
+            jnp.asarray([text.shape[0]]),
+            max_length=max_new,
+            sampling=sampling,
+            key=key,
+            continual=prompt,
+        )
+        out[uid] = np.asarray(toks)[0]
+    return out
+
+
+@pytest.mark.parametrize("sampling", [False, 0.8])
+def test_session_matches_single_decode(sampling):
+    """Drain through 2 slots == per-request batch-1 decode, token-exact."""
+    model, params = _tiny_model()
+    rng = np.random.RandomState(0)
+    reqs = _requests(6, rng)
+    max_new = 16
+    singles = _singles(model, params, reqs, max_new, sampling)
+
+    sess = LauraServingSession(
+        model, params, num_slots=2, max_new=max_new, prefix_budget=16,
+        sampling=sampling, segment_steps=5,
+    )
+    for uid, text, prompt, key in reqs:
+        sess.submit(uid, text, key, prompt=prompt)
+    out = sess.drain()
+
+    assert set(out) == {r[0] for r in reqs}
+    for uid in out:
+        np.testing.assert_array_equal(
+            out[uid], singles[uid], err_msg=f"{uid} diverged from batch-1"
+        )
+    # slot reuse happened (6 requests over 2 slots) and the accounting moved
+    assert sess.stats["segments"] >= 3
+    assert 0 < sess.stats["live_steps"] <= sess.stats["slot_steps"]
+
+
+def test_session_head_rewind_is_exact():
+    """Tight cache capacity forces idle rewinds; outputs stay exact."""
+    model, params = _tiny_model()
+    rng = np.random.RandomState(1)
+    reqs = _requests(5, rng)
+    max_new = 12
+    singles = _singles(model, params, reqs, max_new, 0.8)
+
+    sess = LauraServingSession(
+        model, params, num_slots=2, max_new=max_new, prefix_budget=16,
+        capacity=16 + max_new + 1,  # minimum legal: one generation depth
+        sampling=0.8, segment_steps=4,
+    )
+    for uid, text, prompt, key in reqs:
+        sess.submit(uid, text, key, prompt=prompt)
+    out = sess.drain()
+
+    assert sess.stats["resets"] >= 1, "capacity never forced a rewind"
+    for uid in out:
+        np.testing.assert_array_equal(
+            out[uid], singles[uid], err_msg=f"{uid} diverged after rewind"
+        )
+
+
+def test_session_incremental_submit():
+    """Requests submitted mid-flight join freed slots and stay exact."""
+    model, params = _tiny_model()
+    rng = np.random.RandomState(2)
+    reqs = _requests(4, rng)
+    max_new = 10
+    singles = _singles(model, params, reqs, max_new, 0.8)
+
+    sess = LauraServingSession(
+        model, params, num_slots=2, max_new=max_new, prefix_budget=16,
+        sampling=0.8, segment_steps=3,
+    )
+    out = {}
+    pending = list(reqs)
+    # submit two, then trickle the rest in one per tick
+    for uid, text, prompt, key in pending[:2]:
+        sess.submit(uid, text, key, prompt=prompt)
+    pending = pending[2:]
+    for _ in range(100):
+        if pending:
+            uid, text, prompt, key = pending.pop(0)
+            sess.submit(uid, text, key, prompt=prompt)
+        out.update(sess.poll())
+        if len(out) == len(reqs):
+            break
+    assert len(out) == len(reqs)
+    for uid in out:
+        np.testing.assert_array_equal(out[uid], singles[uid])
+
+
+def test_session_rejects_split_pe():
+    cfg = LauraConfig(
+        input_size=16, num_quantizers=4, codebook_size=24,
+        codebook_dim=12, predict_nq=2, lm_pe_type="split",
+    )
+    lm_cfg = TransformerConfig(
+        input_size=12, attention_dim=16, attention_heads=2,
+        linear_units=24, num_blocks=1, input_layer="linear_relu",
+        pos_enc_type="abs_pos",
+    )
+    enc_cfg = TransformerConfig(
+        input_size=16, attention_dim=16, attention_heads=2,
+        linear_units=24, num_blocks=1, input_layer="linear",
+        pos_enc_type="rel_pos", activation="swish",
+    )
+    model = LauraGenModel(cfg, enc_cfg, enc_cfg, lm_cfg)
+    with pytest.raises(NotImplementedError):
+        LauraServingSession(model, params=None, num_slots=2)
