@@ -63,6 +63,7 @@ class SessionState:
     logits: jnp.ndarray  # (B, nq*V) last logits per slot
     toks: jnp.ndarray  # (B, max_new, nq) int32 emitted tokens
     counts: jnp.ndarray  # (B,) int32 emitted so far
+    row_max: jnp.ndarray  # (B,) int32 per-request generation cap
     live: jnp.ndarray  # (B,) bool — slot actively generating
     keys: jnp.ndarray  # (B, 2) uint32 per-row PRNG keys
     valid_key: jnp.ndarray  # (B, capacity) bool attention validity
@@ -127,6 +128,7 @@ class LauraServingSession:
             logits=jnp.zeros((self.B, nq * v_out), jnp.float32),
             toks=jnp.zeros((self.B, self.max_new, nq), jnp.int32),
             counts=jnp.zeros((self.B,), jnp.int32),
+            row_max=jnp.full((self.B,), self.max_new, jnp.int32),
             live=jnp.zeros((self.B,), bool),
             keys=jnp.zeros((self.B, 2), jnp.uint32),
             valid_key=jnp.zeros((self.B, self.capacity), bool),
@@ -154,17 +156,26 @@ class LauraServingSession:
         text_feats: np.ndarray,  # (Lt, D) raw text features (or (Lt,) ids)
         key,
         prompt: Optional[np.ndarray] = None,  # (P, nq) continual tokens
+        max_new: Optional[int] = None,  # per-request generation cap
     ) -> None:
         """Queue one request. `key` drives this request's sampling stream
-        (same key => same tokens as model.decode_codec)."""
+        (same key => same tokens as model.decode_codec). `max_new` caps THIS
+        request's generation (== decode_codec's max_length); the slot frees
+        as soon as the cap or eos is reached, not when the batch finishes —
+        the point of continuous batching under mixed output lengths."""
         emb_pad, llm_len = self._prefix_embedding(text_feats, prompt)
         nq = self.cfg.predict_nq
+        cap = self.max_new if max_new is None else int(max_new)
+        if not 0 < cap <= self.max_new:
+            raise ValueError(f"max_new {cap} not in (0, {self.max_new}]")
         self._prompts[uid] = (
             np.asarray(prompt, np.int32).reshape(-1, nq)
             if prompt is not None and len(prompt)
             else np.zeros((0, nq), np.int32)
         )
-        self._queue.append((uid, emb_pad, llm_len, jnp.asarray(key, jnp.uint32)))
+        self._queue.append(
+            (uid, emb_pad, llm_len, jnp.asarray(key, jnp.uint32), cap)
+        )
 
     def poll(self) -> Dict[str, np.ndarray]:
         """One scheduling tick: admit what fits, run one decode segment,
@@ -215,10 +226,10 @@ class LauraServingSession:
                 break
             if self._slot_uid[slot] is not None:
                 continue
-            uid, emb_pad, llm_len, key = self._queue.popleft()
+            uid, emb_pad, llm_len, key, cap = self._queue.popleft()
             self.state = self._admit()(
                 self.params, self.state, emb_pad, jnp.int32(llm_len),
-                jnp.int32(slot), key, self._rel_proj,
+                jnp.int32(slot), key, jnp.int32(cap), self._rel_proj,
             )
             self._slot_uid[slot] = uid
 
@@ -248,28 +259,46 @@ class LauraServingSession:
     def _prefix_embedding(self, text_feats, prompt) -> Tuple[jnp.ndarray, int]:
         """Exact [sos, text, task](+prompt) prefix embedding, right-aligned
         into the static prefix budget (mirrors decode_codec's prefix path,
-        so session tokens match batch-1 tokens for the same key)."""
-        model, params = self.model, self.params
-        text = jnp.asarray(text_feats)[None]
-        tl = jnp.asarray([np.asarray(text_feats).shape[0]])
-        text_h, tl = model.encode_text(params, text, tl)
-        lt = int(tl[0])
-        text_h = text_h[:, :lt]
-        if prompt is not None and len(prompt):
-            codec = jnp.asarray(prompt, jnp.int32)[None]
-            inputs, _ = model.build_llm_io(
-                params, text_h, jnp.asarray([lt]), codec=codec,
-                codec_lengths=jnp.asarray([len(prompt)]),
-            )
-        else:
-            inputs, _ = model.build_llm_io(params, text_h, jnp.asarray([lt]))
-        emb = tfm.apply_embed(self.lm_cfg, params["codec_lm"], inputs)[0]
-        llm_len = emb.shape[1]
-        if llm_len > self.prefix_budget:
+        so session tokens match batch-1 tokens for the same key). Jitted and
+        memoized per (text_len, prompt_len) shape — one dispatch per submit
+        (the eager text-encoder path costs hundreds of tunnel dispatches)."""
+        model, lm_cfg, LP = self.model, self.lm_cfg, self.prefix_budget
+        text = np.asarray(text_feats)
+        lt = int(text.shape[0])
+        P = int(len(prompt)) if prompt is not None else 0
+        llm_len = lt + 2 + P  # [sos, text, task](+prompt)
+        if llm_len > LP:
             raise ValueError(
-                f"prefix {llm_len} exceeds prefix_budget {self.prefix_budget}"
+                f"prefix {llm_len} exceeds prefix_budget {LP}"
             )
-        emb_pad = jnp.pad(emb, ((0, 0), (self.prefix_budget - llm_len, 0), (0, 0)))
+        if not hasattr(self, "_prefix_fns"):
+            self._prefix_fns: Dict[Tuple[int, int], Any] = {}
+        if (lt, P) not in self._prefix_fns:
+
+            def prefix(params, text, codec):
+                text_h, _ = model.encode_text(params, text, jnp.asarray([lt]))
+                text_h = text_h[:, :lt]
+                if P:
+                    inputs, _ = model.build_llm_io(
+                        params, text_h, jnp.asarray([lt]), codec=codec,
+                        codec_lengths=jnp.asarray([P]),
+                    )
+                else:
+                    inputs, _ = model.build_llm_io(
+                        params, text_h, jnp.asarray([lt])
+                    )
+                emb = tfm.apply_embed(lm_cfg, params["codec_lm"], inputs)[0]
+                return jnp.pad(emb, ((0, 0), (LP - llm_len, 0), (0, 0)))
+
+            self._prefix_fns[(lt, P)] = jax.jit(prefix)
+        codec = (
+            jnp.asarray(prompt, jnp.int32)[None]
+            if P
+            else jnp.zeros((1, 0, self.cfg.predict_nq), jnp.int32)
+        )
+        emb_pad = self._prefix_fns[(lt, P)](
+            self.params, jnp.asarray(text)[None], codec
+        )
         return emb_pad, llm_len
 
     def _admit(self):
@@ -281,7 +310,7 @@ class LauraServingSession:
         LP, capacity = self.prefix_budget, self.capacity
 
         def admit(params, state: SessionState, emb_pad, llm_len, slot, key,
-                  rel_proj):
+                  cap, rel_proj):
             g = state.cache.length
             row_cache = KVCache(
                 k=[lax.dynamic_slice_in_dim(k, slot, 1, 0) for k in state.cache.k],
@@ -315,6 +344,7 @@ class LauraServingSession:
                 ),
                 toks=lax.dynamic_update_slice(state.toks, zero_row, (slot, 0, 0)),
                 counts=state.counts.at[slot].set(0),
+                row_max=state.row_max.at[slot].set(cap),
                 live=state.live.at[slot].set(True),
                 keys=state.keys.at[slot].set(key),
                 valid_key=state.valid_key.at[slot].set(valid_row),
@@ -364,7 +394,7 @@ class LauraServingSession:
                     jnp.where(emit[:, None], groups, cur)
                 )
                 counts = state.counts + emit.astype(jnp.int32)
-                live = jnp.logical_and(emit, counts < max_new)
+                live = jnp.logical_and(emit, counts < state.row_max)
 
                 # all rows step together (dead rows write masked junk);
                 # clamp sampled ids out of the codebook-embedding range

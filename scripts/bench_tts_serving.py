@@ -1,0 +1,187 @@
+"""A/B: lockstep decode_codec_batch vs continuous-batching LauraServingSession.
+
+Workload: N TTS requests with mixed generation lengths (caps drawn uniform
+[50, 250] groups = 2-10 s of 25 Hz audio — a trained model's eos spread;
+random weights never emit eos, so caps impose the realistic distribution).
+
+Three servers over the same workload, same 87.75M shipped LauraTTS topology:
+  * lockstep-fifo:   decode_codec_batch on arrival-order batches of B; each
+                     batch runs max(caps in batch) steps (rows past their cap
+                     produce discarded groups) — the pre-round-4 path.
+  * lockstep-sorted: same but batches formed after sorting by cap — the best
+                     static bucketing can do.
+  * session:         LauraServingSession with num_slots=B — finished rows
+                     free their slot mid-flight for queued requests.
+
+Metric: useful groups/s = sum(caps) / wall. The reference baseline is
+strictly worse than every row here: it decodes batch-1 with NO kv cache
+(laura_model.py:534 rebuilds the full prefix per token).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from scripts._benchlib import make_logger
+
+log = make_logger("/tmp/tts_serving.log")
+
+N_REQ = int(os.environ.get("TS_N", 48))
+SLOTS = int(os.environ.get("TS_B", 16))
+CAP_LO, CAP_HI = 50, 250
+LT = 40
+DTYPE = os.environ.get("TS_DTYPE", "bf16")
+SEGMENT = int(os.environ.get("TS_SEG", 25))
+TINY = os.environ.get("TS_TINY", "") == "1"  # CPU smoke: shrink model+caps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from funcodec_tpu.tasks.text2audio import build_laura_model
+    from funcodec_tpu.models.tts_serving import LauraServingSession
+    from scripts.bench_laura_decode import CONFIG
+
+    global N_REQ, SLOTS, CAP_LO, CAP_HI, LT
+    if TINY:
+        import copy
+
+        CONFIG = copy.deepcopy(CONFIG)
+        for sec in ("text_encoder_conf", "codec_encoder_conf"):
+            CONFIG[sec].update(output_size=32, attention_heads=2,
+                               linear_units=48, num_blocks=1)
+        CONFIG["model_conf"]["codec_lm_conf"].update(
+            att_unit=32, head=2, unit=48, layer=2, embed_unit=16)
+        CONFIG["model_conf"]["codec_conf"].update(
+            codebook_size=32, codebook_dim=16)
+        CONFIG["input_size"] = 16
+        N_REQ, SLOTS, CAP_LO, CAP_HI, LT = 8, 4, 4, 12, 6
+
+    model = build_laura_model(CONFIG)
+    params = model.init(jax.random.PRNGKey(0))
+    if DTYPE == "bf16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params,
+        )
+    n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
+    log(f"params: {n_params/1e6:.2f}M dtype={DTYPE} devices: {jax.devices()}")
+
+    rng = np.random.RandomState(0)
+    # caps quantized to multiples of 50: bounds the number of distinct
+    # lockstep max_length jit signatures (each is a minutes-long axon
+    # remote compile) while keeping the mixed-length distribution
+    caps = rng.choice(np.arange(CAP_LO, CAP_HI + 1, 4 if TINY else 50), N_REQ)
+    din = CONFIG["input_size"]
+    texts = [rng.randn(LT, din).astype(np.float32) for _ in range(N_REQ)]
+    useful = int(caps.sum())
+    log(f"workload: {N_REQ} reqs, caps {CAP_LO}-{CAP_HI} "
+        f"(sum {useful} groups = {useful/25:.0f} s audio), slots/B={SLOTS}")
+
+    results = {"n_req": N_REQ, "slots": SLOTS, "dtype": DTYPE,
+               "useful_groups": useful, "segment_steps": SEGMENT}
+
+    def batch_plan(order):
+        return [
+            (order[i : i + SLOTS], int(caps[order[i : i + SLOTS]].max()))
+            for i in range(0, N_REQ, SLOTS)
+        ]
+
+    plans = {
+        "lockstep_fifo": batch_plan(np.arange(N_REQ)),
+        "lockstep_sorted": batch_plan(np.argsort(caps)),
+    }
+    # warm every distinct (B, max_length) signature OFF the clock — each new
+    # signature is a minutes-long axon remote compile
+    warm_text = jnp.asarray(np.stack(texts[:SLOTS]))
+    if DTYPE == "bf16":
+        warm_text = warm_text.astype(jnp.bfloat16)
+    warm_tl = jnp.asarray([LT] * SLOTS)
+    sigs = sorted({(len(idx), bm) for p in plans.values() for idx, bm in p})
+    for nb, bm in sigs:
+        t0 = time.perf_counter()
+        model.decode_codec_batch(
+            params, warm_text[:nb], warm_tl[:nb], max_length=bm,
+            sampling=False, key=jax.random.PRNGKey(9),
+        )
+        log(f"warmed lockstep signature B={nb} max_length={bm} "
+            f"({time.perf_counter()-t0:.0f}s)")
+
+    for tag, plan in plans.items():
+        total_wall = 0.0
+        padded_steps = 0
+        for idx, batch_max in plan:
+            tb = jnp.asarray(np.stack([texts[j] for j in idx]))
+            if DTYPE == "bf16":
+                tb = tb.astype(jnp.bfloat16)
+            tl = jnp.asarray([LT] * len(idx))
+            t0 = time.perf_counter()
+            model.decode_codec_batch(
+                params, tb, tl, max_length=batch_max, sampling=False,
+                key=jax.random.PRNGKey(9),
+            )
+            total_wall += time.perf_counter() - t0
+            padded_steps += batch_max * len(idx)
+        rate = useful / total_wall
+        log(f"{tag}: wall {total_wall:.2f}s -> {rate:.1f} useful groups/s "
+            f"({rate/25:.1f}x realtime), slot-steps {padded_steps} "
+            f"(waste {1 - useful/padded_steps:.1%})")
+        results[f"{tag}_groups_per_s"] = rate
+        results[f"{tag}_wall_s"] = total_wall
+        results[f"{tag}_waste"] = 1 - useful / padded_steps
+
+    # --- continuous batching session (sweep segment sizes in-process) ---
+    segments = [int(s) for s in
+                os.environ.get("TS_SEG_SWEEP", str(SEGMENT)).split(",")]
+    for seg in segments:
+        sess = LauraServingSession(
+            model, params, num_slots=SLOTS, max_new=CAP_HI,
+            prefix_budget=LT + 8, sampling=False, segment_steps=seg,
+        )
+        # compile admit+segment+prefix off the clock with one throwaway req
+        sess.submit("warm", texts[0], jax.random.PRNGKey(1), max_new=CAP_LO)
+        sess.drain()
+        sess.stats = {k: 0 for k in sess.stats}
+
+        t0 = time.perf_counter()
+        for i in range(N_REQ):
+            sess.submit(f"u{i}", texts[i], jax.random.PRNGKey(100 + i),
+                        max_new=int(caps[i]))
+        out = sess.drain()
+        wall = time.perf_counter() - t0
+        got = sum(v.shape[0] for v in out.values())
+        # greedy on random weights never emits eos, so lengths == caps
+        # exactly and both modes do identical per-request work (tiny smoke
+        # models can argmax onto eos; tolerate there)
+        assert len(out) == N_REQ, len(out)
+        if not TINY:
+            assert got == useful, (got, useful)
+        util = sess.stats["live_steps"] / max(sess.stats["slot_steps"], 1)
+        rate = useful / wall
+        log(f"session seg={seg}: wall {wall:.2f}s -> {rate:.1f} useful "
+            f"groups/s ({rate/25:.1f}x realtime), slot util {util:.1%}, "
+            f"stats {sess.stats}")
+        key = f"session_seg{seg}"
+        results[f"{key}_groups_per_s"] = rate
+        results[f"{key}_wall_s"] = wall
+        results[f"{key}_slot_util"] = util
+        results[f"{key}_speedup_vs_fifo"] = (
+            rate / results["lockstep_fifo_groups_per_s"]
+        )
+        results[f"{key}_speedup_vs_sorted"] = (
+            rate / results["lockstep_sorted_groups_per_s"]
+        )
+
+    with open("/tmp/tts_serving.json", "w") as f:
+        json.dump(results, f, indent=2)
+    log("DONE " + json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -159,6 +159,36 @@ def test_session_incremental_submit():
         np.testing.assert_array_equal(out[uid], singles[uid])
 
 
+def test_session_per_request_caps():
+    """Per-request max_new == decode_codec with that max_length, exactly."""
+    model, params = _tiny_model()
+    rng = np.random.RandomState(3)
+    reqs = _requests(5, rng)
+    caps = [4, 11, 7, 16, 2]
+
+    singles = {}
+    for (uid, text, prompt, key), cap in zip(reqs, caps):
+        toks = model.decode_codec(
+            params, jnp.asarray(text)[None], jnp.asarray([text.shape[0]]),
+            max_length=cap, sampling=0.8, key=key, continual=prompt,
+        )
+        singles[uid] = np.asarray(toks)[0]
+
+    sess = LauraServingSession(
+        model, params, num_slots=3, max_new=16, prefix_budget=16,
+        sampling=0.8, segment_steps=4,
+    )
+    for (uid, text, prompt, key), cap in zip(reqs, caps):
+        sess.submit(uid, text, key, prompt=prompt, max_new=cap)
+    out = sess.drain()
+    for uid in out:
+        np.testing.assert_array_equal(
+            out[uid], singles[uid], err_msg=f"{uid} diverged under cap"
+        )
+    with pytest.raises(ValueError):
+        sess.submit("bad", reqs[0][1], reqs[0][3], max_new=99)
+
+
 def test_session_rejects_split_pe():
     cfg = LauraConfig(
         input_size=16, num_quantizers=4, codebook_size=24,
