@@ -150,6 +150,48 @@ class Text2Audio:
         }
 
 
+    def _prep_item(self, it):
+        """(feats (1, L[, D]), prompt tokens (P, nq)) for one request dict."""
+        cfg = self.model.cfg
+        feats = self._text_to_features(it["text"])
+        continual = None
+        if it.get("prompt_audio") is not None:
+            token_id, *_ = self.codec(
+                it["prompt_audio"][None, :], run_mod="encode", bit_width=None
+            )
+            continual = (
+                np.asarray(token_id[0])[: cfg.predict_nq, 0, :].T
+            ).astype(np.int64)
+            if it.get("prompt_text") is not None:
+                pt = self._text_to_features(it["prompt_text"])
+                feats = np.concatenate([pt, feats], axis=1)
+        return feats, (
+            continual
+            if continual is not None
+            else np.zeros((0, cfg.predict_nq), np.int64)
+        )
+
+    def _synthesize_tokens(self, tokens, text_in, text_len, gen_start):
+        """AR tokens (1, T, nq) -> {'gen', 'gen_only_lm'} wavs."""
+        lm_tokens = tokens[:, gen_start:, :]
+        if lm_tokens.shape[1] == 0:
+            empty = np.zeros((0,), np.float32)
+            return {"gen": empty, "gen_only_lm": empty}
+        _, _, recon_lm, _ = self.codec(lm_tokens, run_mod="decode", bit_width=None)
+
+        def decode_emb(emb):
+            _, _, wav, _ = self.codec(np.asarray(emb), run_mod="decode_emb")
+            return wav
+
+        recon = self.model.syn_audio(
+            self.params, jnp.asarray(tokens), text_in,
+            jnp.asarray([text_len]), decode_emb, continual_length=gen_start,
+        )
+        return {
+            "gen": np.asarray(recon)[0],
+            "gen_only_lm": np.asarray(recon_lm)[0],
+        }
+
     def batch_synthesize(
         self,
         items,  # list of dicts {text, prompt_text?, prompt_audio?}
@@ -162,24 +204,9 @@ class Text2Audio:
         cfg = self.model.cfg
         feats_list, prompts = [], []
         for it in items:
-            feats = self._text_to_features(it["text"])
-            continual = None
-            if it.get("prompt_audio") is not None:
-                token_id, *_ = self.codec(
-                    it["prompt_audio"][None, :], run_mod="encode", bit_width=None
-                )
-                continual = (
-                    np.asarray(token_id[0])[: cfg.predict_nq, 0, :].T
-                ).astype(np.int64)
-                if it.get("prompt_text") is not None:
-                    pt = self._text_to_features(it["prompt_text"])
-                    feats = np.concatenate([pt, feats], axis=1)
+            feats, continual = self._prep_item(it)
             feats_list.append(feats)
-            prompts.append(
-                continual
-                if continual is not None
-                else np.zeros((0, cfg.predict_nq), np.int64)
-            )
+            prompts.append(continual)
 
         B = len(items)
         Lmax = max(f.shape[1] for f in feats_list)
@@ -211,28 +238,60 @@ class Text2Audio:
 
         outs = []
         for b, tokens_row in enumerate(rows):
-            tokens = tokens_row[None]  # (1, T, nq)
-            gen_start = int(pl[b])
-            lm_tokens = tokens[:, gen_start:, :]
-            if lm_tokens.shape[1] == 0:
-                empty = np.zeros((0,), np.float32)
-                outs.append({"gen": empty, "gen_only_lm": empty})
-                continue
-            _, _, recon_lm, _ = self.codec(lm_tokens, run_mod="decode", bit_width=None)
-
-            def decode_emb(emb):
-                _, _, wav, _ = self.codec(np.asarray(emb), run_mod="decode_emb")
-                return wav
-
             text_in = jnp.asarray(text_pad[b : b + 1, : tl[b]])
-            recon = self.model.syn_audio(
-                self.params, jnp.asarray(tokens), text_in,
-                jnp.asarray(tl[b : b + 1]), decode_emb,
-                continual_length=gen_start,
-            )
             outs.append(
-                {"gen": np.asarray(recon)[0], "gen_only_lm": np.asarray(recon_lm)[0]}
+                self._synthesize_tokens(
+                    tokens_row[None], text_in, int(tl[b]), int(pl[b])
+                )
             )
+        return outs
+
+    def serving_synthesize(
+        self,
+        items,  # list of dicts {text, prompt_text?, prompt_audio?}
+        max_length: Optional[int] = None,
+        num_slots: int = 8,
+    ):
+        """Continuous-batching synthesis over a LauraServingSession: rows
+        that finish early free their decode slot for queued requests
+        instead of idling until the batch's longest generation ends
+        (models/tts_serving.py; requires a rel_pos/none-PE codec LM — the
+        shipped LauraTTS topology). Audio synthesis runs per request as it
+        finishes. Returns {'gen', 'gen_only_lm'} dicts in input order."""
+        from funcodec_tpu.models.tts_serving import LauraServingSession
+
+        max_len = max_length or int(self.max_duration * self.codec_token_rate)
+        preps = [self._prep_item(it) for it in items]
+        budget = max(f.shape[1] + 2 + p.shape[0] for f, p in preps)
+        sess = LauraServingSession(
+            self.model, self.params, num_slots=min(num_slots, len(items)),
+            max_new=max_len, prefix_budget=budget, sampling=self.sampling,
+        )
+        # per-request keys: reproducible stream key_i = fold_in(batch_key, i)
+        self.key, batch_key = jax.random.split(self.key)
+        for i, (feats, prompt) in enumerate(preps):
+            sess.submit(
+                f"u{i}", feats[0], jax.random.fold_in(batch_key, i),
+                prompt=prompt if prompt.shape[0] else None,
+            )
+        outs: list = [None] * len(items)
+        while any(o is None for o in outs):
+            finished = sess.poll()
+            if not finished and not any(
+                u is not None for u in sess._slot_uid
+            ) and not sess._queue:
+                break  # defensive: nothing in flight, nothing queued
+            for uid, tokens in finished.items():
+                i = int(uid[1:])
+                feats, prompt = preps[i]
+                text_in = jnp.asarray(
+                    feats,
+                    jnp.int32 if feats.dtype.kind in "iu" else jnp.float32,
+                )
+                outs[i] = self._synthesize_tokens(
+                    np.asarray(tokens)[None], text_in, int(feats.shape[1]),
+                    int(prompt.shape[0]),
+                )
         return outs
 
 
@@ -255,6 +314,11 @@ def main(argv=None):
     parser.add_argument("--sampling_rate", type=int, default=16000)
     parser.add_argument("--batch_size", type=int, default=1,
                         help=">1 drives batched AR decode (decode_codec_batch)")
+    parser.add_argument("--serving_slots", type=int, default=0,
+                        help=">0 decodes through the continuous-batching "
+                        "LauraServingSession with this many slots (rows that "
+                        "finish free their slot mid-flight; rel_pos/none-PE "
+                        "LMs only)")
     args = parser.parse_args(argv)
 
     s = args.sampling
@@ -334,7 +398,12 @@ def main(argv=None):
         logging.info("tts_eval.json: %s", mean)
 
     entries = list(texts.items())
-    if args.batch_size <= 1:
+    if args.serving_slots > 0:
+        items = [load_item(k, t) for k, t in entries]
+        outs = pipeline.serving_synthesize(items, num_slots=args.serving_slots)
+        for (key, _), out, item in zip(entries, outs, items):
+            emit(key, out, prompt_audio=item["prompt_audio"])
+    elif args.batch_size <= 1:
         for key, text in entries:
             item = load_item(key, text)
             out = pipeline(

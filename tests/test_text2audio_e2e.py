@@ -231,6 +231,49 @@ def test_laura_inference_cli_batched(tts_env):
         assert np.isfinite(x).all()
 
 
+def test_laura_inference_cli_serving(tts_env):
+    """--serving_slots drives the continuous-batching LauraServingSession:
+    mixed rows (one zero-shot prompt, two free) over 2 slots, audio
+    synthesized per request as it finishes (models/tts_serving.py)."""
+    from funcodec_tpu.cli.text2audio_inference import main
+    from funcodec_tpu.data.wav_io import read_wav
+
+    root = tts_env
+    assert (root / "exp" / "latest.ckpt").exists(), "train test must run first"
+
+    with open(root / "syn_text_s.scp", "w") as f:
+        f.write("s0 3 1 4 1 5\n")
+        f.write("s1 2 7 2\n")
+        f.write("s2 9 8 7 6 5 4\n")
+    with open(root / "prompt_s.scp", "w") as f:
+        f.write(f"s0 {root}/wavs/u0.wav\n")  # s1/s2 have no prompt
+
+    main([
+        "--output_dir", str(root / "syn_s"),
+        "--config_file", str(root / "laura_config.yaml"),
+        "--model_file", str(root / "exp" / "latest.ckpt"),
+        "--codec_config_file", str(root / "codec_config.yaml"),
+        "--codec_model_file", str(root / "codec.ckpt"),
+        "--text_scp", str(root / "syn_text_s.scp"),
+        "--token_list", str(root / "tokens.txt"),
+        "--token_type", "word",
+        "--prompt_wav_scp", str(root / "prompt_s.scp"),
+        "--sampling", "5",
+        "--serving_slots", "2",
+    ])
+    wavs = sorted((root / "syn_s").glob("*.wav"))
+    assert wavs, "no synthesized wavs"
+    stems = {w.name.split("_")[0] for w in wavs}
+    assert stems == {"s0", "s1", "s2"}, stems
+    for w in wavs:
+        _sr, x = read_wav(w)
+        assert np.isfinite(x).all()
+    import json
+
+    rep = json.loads((root / "syn_s" / "tts_eval.json").read_text())
+    assert set(rep["per_utt"]) == {"s0", "s1", "s2"}
+
+
 def test_raw_text_to_wav_with_g2p_fallback(tts_env, tmp_path):
     """Raw English text -> phonemes (built-in G2P fallback) -> wav, through
     the full TTS inference CLI — the demo.sh path with token_type=phn and
