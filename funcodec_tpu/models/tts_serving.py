@@ -140,7 +140,8 @@ class LauraServingSession:
         self._admit_fn = None
         self._segment_fn = None
 
-        self._queue: deque = deque()  # (uid, emb_pad, llm_len, key, prompt)
+        self._head = self.prefix_budget  # host mirror of cache.length
+        self._queue: deque = deque()  # (uid, emb_pad, llm_len, key, cap)
         self._slot_uid: List[Optional[str]] = [None] * self.B
         self._prompts: Dict[str, np.ndarray] = {}
         self._finished: Dict[str, np.ndarray] = {}
@@ -193,6 +194,7 @@ class LauraServingSession:
         self.stats["segments"] += 1
         self.stats["slot_steps"] += int(steps) * self.B
         self.stats["live_steps"] += int(live_steps)
+        self._head += int(steps)
         self._harvest(live, counts)
         return self._pop_finished()
 
@@ -206,8 +208,10 @@ class LauraServingSession:
     # ----------------------------------------------------------- scheduling
 
     def _admit_ready(self) -> None:
-        head = int(self.state.cache.length)
-        if self._queue and head + self.max_new >= self.capacity:
+        head = self._head  # host-tracked: advances exactly `steps`/segment
+        # FIFO gate on the NEXT request's own cap (shorter requests fit
+        # closer to the capacity edge than max_new would allow)
+        if self._queue and head + self._queue[0][4] >= self.capacity:
             if not any(u is not None for u in self._slot_uid):
                 # every slot idle: rewind the head — stale cache slots stay,
                 # masked out by each new row's valid-key lower bound
@@ -218,12 +222,14 @@ class LauraServingSession:
                     valid_key=jnp.zeros_like(self.state.valid_key),
                 )
                 self.stats["resets"] += 1
-                head = self.prefix_budget
+                head = self._head = self.prefix_budget
             else:
                 return  # finish the in-flight rows first
         for slot in range(self.B):
             if not self._queue:
                 break
+            if head + self._queue[0][4] >= self.capacity:
+                break  # FIFO: the next request no longer fits this era
             if self._slot_uid[slot] is not None:
                 continue
             uid, emb_pad, llm_len, key, cap = self._queue.popleft()
@@ -240,10 +246,13 @@ class LauraServingSession:
         ]
         if not done_slots:
             return
-        rows = jax.device_get(self.state.toks[np.asarray(done_slots)])
-        for row, s in zip(rows, done_slots):
+        # fetch the whole buffer and slice on host: a device-side fancy
+        # gather bakes the index VALUES into the program, so every distinct
+        # done-slot combination would be a fresh (remote) compile
+        toks = np.asarray(jax.device_get(self.state.toks))
+        for s in done_slots:
             uid = self._slot_uid[s]
-            gen = row[: counts[s]]
+            gen = toks[s, : counts[s]]
             self._finished[uid] = np.concatenate(
                 [self._prompts.pop(uid), gen], axis=0
             ).astype(np.int32)

@@ -85,7 +85,8 @@ def main():
         f"(sum {useful} groups = {useful/25:.0f} s audio), slots/B={SLOTS}")
 
     results = {"n_req": N_REQ, "slots": SLOTS, "dtype": DTYPE,
-               "useful_groups": useful, "segment_steps": SEGMENT}
+               "useful_groups": useful, "segment_steps": SEGMENT,
+               "cap_mult": int(os.environ.get("TS_CAP_MULT", 4))}
 
     def batch_plan(order):
         return [
@@ -139,10 +140,12 @@ def main():
     # --- continuous batching session (sweep segment sizes in-process) ---
     segments = [int(s) for s in
                 os.environ.get("TS_SEG_SWEEP", str(SEGMENT)).split(",")]
+    cap_mult = int(os.environ.get("TS_CAP_MULT", 4))
     for seg in segments:
         sess = LauraServingSession(
             model, params, num_slots=SLOTS, max_new=CAP_HI,
             prefix_budget=LT + 8, sampling=False, segment_steps=seg,
+            capacity=LT + 8 + cap_mult * (CAP_HI + 1),
         )
         # compile admit+segment+prefix off the clock with one throwaway req
         sess.submit("warm", texts[0], jax.random.PRNGKey(1), max_new=CAP_LO)
