@@ -52,6 +52,13 @@ TRAIN_SCAN_UNROLL = 1
 # fast vectorized-EMA path is equivalent to it.
 FORCE_SLOW_SCAN = False
 
+# A/B hook (scripts/expiry_draw_ab.py): revert to the round-4 per-layer
+# `random.permutation` expiry draw — n_scan independent sorts whose compile
+# alone cost ~17 min on the axon remote compiler. The shipped draw (one
+# shared permutation + per-layer offsets) is the default; this hook exists
+# so the revival-trajectory equivalence stays re-measurable.
+EXPIRY_PER_LAYER_DRAW = False
+
 
 @dataclasses.dataclass(frozen=True)
 class RVQConfig:
@@ -386,15 +393,37 @@ def rvq_train_forward(
             new_state,
         )
     if cfg.expiry_mode == "effective":
-        e_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys[start_layer:])
-        if N >= bins:
-            fresh_idx_all = jax.vmap(
-                lambda k: jax.random.permutation(k, N)[:bins]
-            )(e_keys)
+        # One SHARED permutation + per-layer random offsets instead of a
+        # fresh permutation per layer: n_scan vmapped `random.permutation`
+        # draws lower to n_scan sort kernels whose compile alone cost ~17 min
+        # on the axon remote compiler (vs ~4 min for the whole rest of the
+        # step; see artifacts/expiry_compile_r5.json). Each layer still gets
+        # `bins` DISTINCT, marginally-uniform row indices (a random window of
+        # the shared permutation), which is all expiry resampling needs — the
+        # reference itself falls back to sampling WITH replacement when the
+        # batch is short (ddp_core_vq.py:65-73).
+        e_key = jax.random.fold_in(key, 7)
+        if EXPIRY_PER_LAYER_DRAW:  # round-4 draw, kept for the A/B hook
+            e_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(
+                keys[start_layer:]
+            )
+            if N >= bins:
+                fresh_idx_all = jax.vmap(
+                    lambda k: jax.random.permutation(k, N)[:bins]
+                )(e_keys)
+            else:
+                fresh_idx_all = jax.vmap(
+                    lambda k: jax.random.randint(k, (bins,), 0, N)
+                )(e_keys)
+        elif N >= bins:
+            perm = jax.random.permutation(e_key, N)
+            offs = jax.random.randint(
+                jax.random.fold_in(e_key, 1), (n_scan,), 0, N
+            )
+            windows = (offs[:, None] + jnp.arange(bins)[None, :]) % N
+            fresh_idx_all = perm[windows]
         else:
-            fresh_idx_all = jax.vmap(
-                lambda k: jax.random.randint(k, (bins,), 0, N)
-            )(e_keys)
+            fresh_idx_all = jax.random.randint(e_key, (n_scan, bins), 0, N)
     else:
         fresh_idx_all = jnp.zeros((n_scan, bins), jnp.int32)
 
