@@ -6,13 +6,15 @@ token (funcodec/bin/text2audio_inference.py -> laura_model.py:501-548,
 streams through one shared KV-cache while_loop — but in LOCKSTEP: the batch
 runs until its LAST row emits eos, so early finishers burn their slot doing
 masked work. Under mixed generation lengths that wastes a large fraction of
-slot-steps (measured in artifacts/tts_serving_r4.json).
+slot-steps (measured in artifacts/tts_serving_r5.json).
 
 `LauraServingSession` is the TPU-native fix — vLLM-style continuous
 batching shaped for XLA's static-shape compilation model:
 
   * B fixed SLOTS over one (B, capacity) KV cache; all shapes static, so
-    exactly two jitted programs serve the whole session (admit + segment).
+    two jitted programs (admit + segment) plus O(#length-buckets) prefix
+    programs serve the whole session — the compile count is constant after
+    warmup no matter how ragged the request stream is.
   * The decode loop runs in SEGMENTS of `segment_steps` iterations inside
     one `lax.while_loop` dispatch; between segments the host harvests
     finished rows and admits queued requests into freed slots.
@@ -92,6 +94,10 @@ class LauraServingSession:
         capacity: Optional[int] = None,
         sampling: Union[bool, int, float] = 0.8,
         segment_steps: int = 25,
+        text_bucket: int = 32,
+        prompt_bucket: int = 32,
+        device=None,
+        share_fns_with: Optional["LauraServingSession"] = None,
     ):
         cfg, lm_cfg = model.cfg, model.codec_lm_cfg
         if cfg.lm_pe_type == "split" or lm_cfg.pos_enc_type not in (
@@ -102,6 +108,12 @@ class LauraServingSession:
                 "(rel_pos/none); split-PE models use decode_codec_batch"
             )
         self.model = model
+        self.device = device
+        if device is not None:
+            # pin this session to one chip: committed params make every
+            # jitted dispatch (admit/segment/prefix) execute on `device`,
+            # so N sessions serve N chips from one process (ServingPool)
+            params = jax.device_put(params, device)
         self.params = params
         self.cfg, self.lm_cfg = cfg, lm_cfg
         self.B = int(num_slots)
@@ -114,6 +126,8 @@ class LauraServingSession:
         assert self.capacity >= self.prefix_budget + self.max_new + 1
         self.sampling = sampling
         self.segment_steps = int(segment_steps)
+        self.text_bucket = max(1, int(text_bucket))
+        self.prompt_bucket = max(1, int(prompt_bucket))
         self.eos = cfg.codebook_size + cfg.sos_eos
 
         cache_dtype = params["lm_decoder"]["w"].dtype
@@ -133,12 +147,29 @@ class LauraServingSession:
             keys=jnp.zeros((self.B, 2), jnp.uint32),
             valid_key=jnp.zeros((self.B, self.capacity), bool),
         )
+        if device is not None:
+            self.state = jax.device_put(self.state, device)
         # loop-invariant per-layer pos-projected rel-PE tables (device)
         self._rel_proj = precompute_rel_proj(
             lm_cfg, params["codec_lm"], self.capacity
         )
-        self._admit_fn = None
-        self._segment_fn = None
+        # jitted-program cache, shareable between pool members: jax.jit
+        # re-specializes per device placement, so sharing the callables skips
+        # only the retrace, never mixes executables across chips
+        if share_fns_with is not None:
+            sib = share_fns_with
+            assert (
+                sib.model is model
+                and (sib.B, sib.max_new, sib.prefix_budget, sib.capacity,
+                     sib.sampling, sib.segment_steps)
+                == (self.B, self.max_new, self.prefix_budget, self.capacity,
+                    self.sampling, self.segment_steps)
+            ), "share_fns_with requires identical session configuration"
+            self._fns = sib._fns
+        else:
+            self._fns: Dict[str, Any] = {
+                "admit": None, "segment": None, "prefix": {}
+            }
 
         self._head = self.prefix_budget  # host mirror of cache.length
         self._queue: deque = deque()  # (uid, emb_pad, llm_len, key, cap)
@@ -265,12 +296,24 @@ class LauraServingSession:
 
     # -------------------------------------------------------------- jit fns
 
+    @property
+    def _prefix_fns(self) -> Dict[Tuple[int, int], Any]:
+        return self._fns["prefix"]
+
     def _prefix_embedding(self, text_feats, prompt) -> Tuple[jnp.ndarray, int]:
         """Exact [sos, text, task](+prompt) prefix embedding, right-aligned
         into the static prefix budget (mirrors decode_codec's prefix path,
-        so session tokens match batch-1 tokens for the same key). Jitted and
-        memoized per (text_len, prompt_len) shape — one dispatch per submit
-        (the eager text-encoder path costs hundreds of tunnel dispatches)."""
+        so session tokens match batch-1 tokens for the same key).
+
+        Compile-bounded: text/prompt are padded up to `text_bucket` /
+        `prompt_bucket` multiples and the TRUE lengths travel as traced
+        scalars, so a ragged serving workload compiles O(#buckets) programs
+        instead of one per distinct (text_len, prompt_len) pair — on the
+        axon remote compiler each fresh signature costs ~1.4 s to minutes
+        (artifacts/tts_serving_r5.json). Padded positions are excluded by
+        the same length masks the batched decode path uses
+        (encode_text/build_llm_io), so bucketing is token-exact
+        (tests/test_tts_serving.py::test_prefix_bucketing)."""
         model, lm_cfg, LP = self.model, self.lm_cfg, self.prefix_budget
         text = np.asarray(text_feats)
         lt = int(text.shape[0])
@@ -280,41 +323,46 @@ class LauraServingSession:
             raise ValueError(
                 f"prefix {llm_len} exceeds prefix_budget {LP}"
             )
-        if not hasattr(self, "_prefix_fns"):
-            self._prefix_fns: Dict[Tuple[int, int], Any] = {}
-        if (lt, P) not in self._prefix_fns:
+        lt_b = -(-lt // self.text_bucket) * self.text_bucket
+        P_b = -(-P // self.prompt_bucket) * self.prompt_bucket if P else 0
+        if (lt_b, P_b) not in self._prefix_fns:
 
-            def prefix(params, text, codec):
-                text_h, _ = model.encode_text(params, text, jnp.asarray([lt]))
-                text_h = text_h[:, :lt]
-                if P:
-                    inputs, _ = model.build_llm_io(
-                        params, text_h, jnp.asarray([lt]), codec=codec,
-                        codec_lengths=jnp.asarray([P]),
+            def prefix(params, text, tl, codec, cl):
+                text_h, _ = model.encode_text(params, text, tl)
+                if P_b:
+                    inputs, llm_lens = model.build_llm_io(
+                        params, text_h, tl, codec=codec, codec_lengths=cl
                     )
                 else:
-                    inputs, _ = model.build_llm_io(
-                        params, text_h, jnp.asarray([lt])
-                    )
+                    inputs, llm_lens = model.build_llm_io(params, text_h, tl)
                 emb = tfm.apply_embed(lm_cfg, params["codec_lm"], inputs)[0]
-                return jnp.pad(emb, ((0, 0), (LP - llm_len, 0), (0, 0)))
+                # right-align the llm_lens[0] valid rows into the budget
+                src = jnp.arange(LP) - (LP - llm_lens[0])
+                rows = jnp.take(
+                    emb[0], jnp.clip(src, 0, emb.shape[1] - 1), axis=0
+                )
+                return jnp.where(src[:, None] >= 0, rows, 0)[None]
 
-            self._prefix_fns[(lt, P)] = jax.jit(prefix)
-        codec = (
-            jnp.asarray(prompt, jnp.int32)[None]
-            if P
-            else jnp.zeros((1, 0, self.cfg.predict_nq), jnp.int32)
-        )
-        emb_pad = self._prefix_fns[(lt, P)](
-            self.params, jnp.asarray(text)[None], codec
+            self._prefix_fns[(lt_b, P_b)] = jax.jit(prefix)
+        if text.ndim == 1:  # token ids: pad with ignore_id (embeds to zero)
+            text_pad = np.full((lt_b,), self.cfg.ignore_id, text.dtype)
+        else:
+            text_pad = np.zeros((lt_b,) + text.shape[1:], text.dtype)
+        text_pad[:lt] = text
+        codec = np.zeros((1, P_b, self.cfg.predict_nq), np.int32)
+        if P:
+            codec[0, :P] = np.asarray(prompt, np.int32)
+        emb_pad = self._prefix_fns[(lt_b, P_b)](
+            self.params, jnp.asarray(text_pad)[None], jnp.asarray([lt]),
+            jnp.asarray(codec), jnp.asarray([P]),
         )
         return emb_pad, llm_len
 
     def _admit(self):
         """Jitted slot admission: prefill the request's prefix into cache
         window [head - llm_len, head) of `slot` and arm the row."""
-        if self._admit_fn is not None:
-            return self._admit_fn
+        if self._fns["admit"] is not None:
+            return self._fns["admit"]
         lm_cfg = self.lm_cfg
         LP, capacity = self.prefix_budget, self.capacity
 
@@ -359,15 +407,15 @@ class LauraServingSession:
                 valid_key=state.valid_key.at[slot].set(valid_row),
             )
 
-        self._admit_fn = jax.jit(admit, donate_argnums=(1,))
-        return self._admit_fn
+        self._fns["admit"] = jax.jit(admit, donate_argnums=(1,))
+        return self._fns["admit"]
 
     def _segment(self):
         """Jitted decode segment: up to segment_steps AR iterations for all
         live rows (one dispatch). Per-row keys replay decode_codec's stream:
         split once per sampled group, nq-way split inside."""
-        if self._segment_fn is not None:
-            return self._segment_fn
+        if self._fns["segment"] is not None:
+            return self._fns["segment"]
         model, cfg, lm_cfg = self.model, self.cfg, self.lm_cfg
         B, nq = self.B, self.cfg.predict_nq
         S, max_new, eos = self.segment_steps, self.max_new, self.eos
@@ -431,5 +479,64 @@ class LauraServingSession:
             )
             return state, i, ls
 
-        self._segment_fn = jax.jit(segment, donate_argnums=(1,))
-        return self._segment_fn
+        self._fns["segment"] = jax.jit(segment, donate_argnums=(1,))
+        return self._fns["segment"]
+
+
+class ServingPool:
+    """Device-parallel continuous-batching TTS serving: one pinned
+    LauraServingSession per chip, fed from a shared queue in one process.
+
+    This is the Laura-path analogue of the codec CLI's ``--data_parallel``
+    mesh serving (cli/codec_inference.py:93-156): the reference instead forks
+    one python process per GPU and splits the scp by job index
+    (funcodec/bin/codec_inference.py:569-579). Params are replicated
+    (device_put per chip), requests are load-balanced to the least-loaded
+    session, and every session shares one traced-program cache
+    (``share_fns_with``) so the pool traces each program once. Outputs are
+    token-exact vs batch-1 ``decode_codec`` regardless of which chip served
+    the request (tests/test_tts_serving.py::test_serving_pool_multidevice).
+    """
+
+    def __init__(self, model, params, devices=None, **session_kwargs):
+        devices = list(devices) if devices is not None else jax.devices()
+        assert devices, "ServingPool needs at least one device"
+        self.sessions: List[LauraServingSession] = []
+        for d in devices:
+            self.sessions.append(
+                LauraServingSession(
+                    model, params, device=d,
+                    share_fns_with=self.sessions[0] if self.sessions else None,
+                    **session_kwargs,
+                )
+            )
+        self._load = [0] * len(self.sessions)  # in-flight requests per chip
+
+    def submit(self, uid, text_feats, key, prompt=None, max_new=None):
+        i = min(range(len(self.sessions)), key=self._load.__getitem__)
+        self.sessions[i].submit(
+            uid, text_feats, key, prompt=prompt, max_new=max_new
+        )
+        self._load[i] += 1
+
+    def poll(self) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        for i, sess in enumerate(self.sessions):
+            done = sess.poll()
+            self._load[i] -= len(done)
+            out.update(done)
+        return out
+
+    def drain(self) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        while any(self._load):
+            out.update(self.poll())
+        return out
+
+    @property
+    def stats(self) -> Dict[str, int]:
+        agg: Dict[str, int] = {}
+        for sess in self.sessions:
+            for k, v in sess.stats.items():
+                agg[k] = agg.get(k, 0) + v
+        return agg

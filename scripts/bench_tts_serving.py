@@ -86,7 +86,8 @@ def main():
 
     results = {"n_req": N_REQ, "slots": SLOTS, "dtype": DTYPE,
                "useful_groups": useful, "segment_steps": SEGMENT,
-               "cap_mult": int(os.environ.get("TS_CAP_MULT", 4))}
+               "cap_sweep": os.environ.get(
+                   "TS_CAP_SWEEP", os.environ.get("TS_CAP_MULT", "4"))}
 
     def batch_plan(order):
         return [
@@ -137,11 +138,15 @@ def main():
         results[f"{tag}_wall_s"] = total_wall
         results[f"{tag}_waste"] = 1 - useful / padded_steps
 
-    # --- continuous batching session (sweep segment sizes in-process) ---
+    # --- continuous batching session (sweep segment sizes and KV-cache
+    # capacity multipliers in-process; each (seg, cap) pair re-traces the
+    # segment program but the lockstep baselines above stay warm) ---
     segments = [int(s) for s in
                 os.environ.get("TS_SEG_SWEEP", str(SEGMENT)).split(",")]
-    cap_mult = int(os.environ.get("TS_CAP_MULT", 4))
-    for seg in segments:
+    cap_mults = [int(c) for c in
+                 os.environ.get("TS_CAP_SWEEP",
+                                os.environ.get("TS_CAP_MULT", "4")).split(",")]
+    for seg, cap_mult in [(s, c) for c in cap_mults for s in segments]:
         sess = LauraServingSession(
             model, params, num_slots=SLOTS, max_new=CAP_HI,
             prefix_budget=LT + 8, sampling=False, segment_steps=seg,
@@ -167,13 +172,18 @@ def main():
             assert got == useful, (got, useful)
         util = sess.stats["live_steps"] / max(sess.stats["slot_steps"], 1)
         rate = useful / wall
-        log(f"session seg={seg}: wall {wall:.2f}s -> {rate:.1f} useful "
-            f"groups/s ({rate/25:.1f}x realtime), slot util {util:.1%}, "
-            f"stats {sess.stats}")
-        key = f"session_seg{seg}"
+        log(f"session seg={seg} cap_mult={cap_mult}: wall {wall:.2f}s -> "
+            f"{rate:.1f} useful groups/s ({rate/25:.1f}x realtime), "
+            f"slot util {util:.1%}, stats {sess.stats}")
+        key = f"session_seg{seg}" + (
+            f"_cap{cap_mult}" if len(cap_mults) > 1 else ""
+        )
         results[f"{key}_groups_per_s"] = rate
         results[f"{key}_wall_s"] = wall
         results[f"{key}_slot_util"] = util
+        # compile-boundedness evidence (VERDICT r4 next #2): every request
+        # in this workload shares one bucketed prefix signature
+        results[f"{key}_prefix_programs"] = len(sess._prefix_fns)
         results[f"{key}_speedup_vs_fifo"] = (
             rate / results["lockstep_fifo_groups_per_s"]
         )

@@ -14,7 +14,7 @@ import pytest
 
 from funcodec_tpu.models.laura import LauraConfig, LauraGenModel
 from funcodec_tpu.models.transformer import TransformerConfig
-from funcodec_tpu.models.tts_serving import LauraServingSession
+from funcodec_tpu.models.tts_serving import LauraServingSession, ServingPool
 
 
 def _tiny_model():
@@ -187,6 +187,121 @@ def test_session_per_request_caps():
         )
     with pytest.raises(ValueError):
         sess.submit("bad", reqs[0][1], reqs[0][3], max_new=99)
+
+
+def test_prefix_bucketing_exact_and_compile_bounded():
+    """Ragged (text_len, prompt_len) requests compile O(#buckets) prefix
+    programs (not one per distinct pair) and stay token-exact vs batch-1
+    decode, including lengths that straddle bucket boundaries."""
+    model, params = _tiny_model()
+    rng = np.random.RandomState(4)
+    # text lengths sweep 1..8 with bucket 4 -> exactly 2 text buckets;
+    # prompts of length 0..3 with bucket 4 -> 1 prompt bucket (+ none)
+    reqs = []
+    for i, lt in enumerate([1, 3, 4, 5, 7, 8, 2, 6]):
+        text = rng.randn(lt, 16).astype(np.float32)
+        plen = i % 4
+        prompt = (
+            rng.randint(0, 24, (plen, 2)).astype(np.int64) if plen else None
+        )
+        reqs.append((f"utt{i}", text, prompt, jax.random.PRNGKey(200 + i)))
+    max_new = 8
+    singles = _singles(model, params, reqs, max_new, 0.8)
+
+    sess = LauraServingSession(
+        model, params, num_slots=2, max_new=max_new, prefix_budget=16,
+        sampling=0.8, segment_steps=4, text_bucket=4, prompt_bucket=4,
+    )
+    for uid, text, prompt, key in reqs:
+        sess.submit(uid, text, key, prompt=prompt)
+    # 8 distinct (lt, P) pairs collapse to <= 2 text buckets x 2 prompt
+    # classes = 4 prefix programs
+    assert len(sess._prefix_fns) <= 4, sorted(sess._prefix_fns)
+    out = sess.drain()
+    assert set(out) == {r[0] for r in reqs}
+    for uid in out:
+        np.testing.assert_array_equal(
+            out[uid], singles[uid], err_msg=f"{uid} diverged under bucketing"
+        )
+
+
+def test_prefix_bucketing_token_ids():
+    """1-D token-id texts pad with ignore_id and stay exact under buckets."""
+    cfg = LauraConfig(
+        input_size=16, num_quantizers=4, codebook_size=24,
+        codebook_dim=12, predict_nq=2, vocab_size=11,
+    )
+    enc_cfg = TransformerConfig(
+        input_size=16, attention_dim=16, attention_heads=2,
+        linear_units=24, num_blocks=1, input_layer="linear",
+        pos_enc_type="rel_pos", activation="swish",
+    )
+    codec_enc_cfg = TransformerConfig(
+        input_size=12, attention_dim=16, attention_heads=2,
+        linear_units=24, num_blocks=1, input_layer="linear",
+        pos_enc_type="rel_pos", activation="swish",
+    )
+    lm_cfg = TransformerConfig(
+        input_size=12, attention_dim=16, attention_heads=2,
+        linear_units=24, num_blocks=2, input_layer="linear_relu",
+        pos_enc_type="rel_pos",
+    )
+    model = LauraGenModel(cfg, enc_cfg, codec_enc_cfg, lm_cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+    reqs = []
+    for i, lt in enumerate([2, 3, 5]):
+        ids = rng.randint(0, 11, (lt,)).astype(np.int32)
+        reqs.append((f"utt{i}", ids, None, jax.random.PRNGKey(300 + i)))
+    max_new = 6
+    singles = _singles(model, params, reqs, max_new, False)
+    sess = LauraServingSession(
+        model, params, num_slots=2, max_new=max_new, prefix_budget=16,
+        sampling=False, segment_steps=3, text_bucket=4,
+    )
+    for uid, ids, prompt, key in reqs:
+        sess.submit(uid, ids, key)
+    assert len(sess._prefix_fns) <= 2
+    out = sess.drain()
+    for uid in out:
+        np.testing.assert_array_equal(out[uid], singles[uid])
+
+
+def test_serving_pool_multidevice():
+    """N device-pinned sessions fed by one shared queue: every request's
+    tokens are exact vs batch-1 decode no matter which device served it,
+    and the load balancer actually spreads requests."""
+    devices = jax.devices()
+    if len(devices) < 2:
+        pytest.skip("needs >=2 devices (conftest forces an 8-device CPU mesh)")
+    model, params = _tiny_model()
+    rng = np.random.RandomState(6)
+    reqs = _requests(8, rng)
+    max_new = 10
+    singles = _singles(model, params, reqs, max_new, 0.8)
+
+    pool = ServingPool(
+        model, params, devices=devices[:3], num_slots=2, max_new=max_new,
+        prefix_budget=16, sampling=0.8, segment_steps=4,
+    )
+    for uid, text, prompt, key in reqs:
+        pool.submit(uid, text, key, prompt=prompt)
+    served_per_dev = [
+        sum(u is not None for u in s._slot_uid) + len(s._queue)
+        for s in pool.sessions
+    ]
+    assert sum(served_per_dev) == len(reqs)
+    assert sum(1 for n in served_per_dev if n > 0) >= 2, served_per_dev
+    out = pool.drain()
+    assert set(out) == {r[0] for r in reqs}
+    for uid in out:
+        np.testing.assert_array_equal(
+            out[uid], singles[uid], err_msg=f"{uid} diverged in the pool"
+        )
+    # sessions share one traced-program cache
+    assert all(s._fns is pool.sessions[0]._fns for s in pool.sessions)
+    agg = pool.stats
+    assert agg["emitted"] > 0 and agg["live_steps"] <= agg["slot_steps"]
 
 
 def test_session_rejects_split_pe():
