@@ -332,6 +332,7 @@ class Speech2Token:
             codes = [np.asarray(c, np.int32) for c in codes]
         recon, sub_quants = fetched["recon"], fetched["sub_quants"]
         row_pad = out.get("_row_pad", 0)
+        code_embeddings = out.get("code_embeddings")
         if row_pad:  # strip the data-parallel alignment rows (_put_rows)
             if codes is not None and codes[0] is not None:
                 codes = [c[:, :-row_pad] for c in codes]  # (n_q, B, T)
@@ -339,9 +340,18 @@ class Speech2Token:
                 recon = recon[:-row_pad]  # (B, T)
             if sub_quants is not None and sub_quants[0] is not None:
                 sub_quants = [s[:, :-row_pad] for s in sub_quants]  # (n_q,B,T,D)
+            if code_embeddings is not None:
+                # per-frame (emb (B, T, D), scale (B, 1) | None) tuples
+                code_embeddings = [
+                    (
+                        emb[:-row_pad],
+                        scale[:-row_pad] if scale is not None else None,
+                    )
+                    for emb, scale in code_embeddings
+                ]
         return (
             codes,
-            out.get("code_embeddings"),
+            code_embeddings,
             recon,
             sub_quants,
         )

@@ -280,7 +280,15 @@ class Text2Audio:
             if not finished and not any(
                 u is not None for u in sess._slot_uid
             ) and not sess._queue:
-                break  # defensive: nothing in flight, nothing queued
+                # the session ran dry with requests unaccounted for — a
+                # scheduler bug; fail here rather than hand emit() a None
+                unfinished = [
+                    f"u{i}" for i, o in enumerate(outs) if o is None
+                ]
+                raise RuntimeError(
+                    "serving session went idle with unfinished requests: "
+                    + ", ".join(unfinished)
+                )
             for uid, tokens in finished.items():
                 i = int(uid[1:])
                 feats, prompt = preps[i]
