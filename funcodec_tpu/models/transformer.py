@@ -467,6 +467,7 @@ def apply_encoder_step(
     x_new: jnp.ndarray,  # (B, n_new, D_in) already embedded+scaled per apply_embed
     attend_mask: Optional[jnp.ndarray] = None,  # (B, n_new, max_len) extra mask
     rel_proj=None,  # optional precompute_rel_proj output
+    write_mask: Optional[jnp.ndarray] = None,  # (B,) rows that write+advance
 ):
     """Incremental forward over n_new positions against the cached prefix.
 
@@ -475,6 +476,14 @@ def apply_encoder_step(
     positional scores are computed directly from the rel-pe table (no
     rel_shift needed for gather-style indexing), numerically identical to the
     full forward.
+
+    ``cache.length`` may be a scalar (all rows at the same position — the
+    batched-decode path) or a ``(B,)`` vector (PER-ROW positions — the
+    continuous-batching serving path, where each slot's stream restarts at
+    its own base; models/tts_serving.py). In vector mode ``write_mask``
+    optionally gates which rows write their K/V and advance: masked-off rows
+    leave the cache and their length untouched (exactly as if they had not
+    stepped), which is how dead serving slots ride along in a live batch.
     """
     b, n_new, _ = x_new.shape
     max_len = cache.k[0].shape[1]
@@ -483,22 +492,46 @@ def apply_encoder_step(
     d_k = d // h
 
     start = cache.length
-    pos_new = start + jnp.arange(n_new)  # (n_new,)
+    per_row = getattr(start, "ndim", 0) == 1
     key_pos = jnp.arange(max_len)
-    # causal validity: key slot j is visible if j < start + q_idx + 1
-    visible = key_pos[None, :] <= (pos_new[:, None])  # (n_new, max_len)
-    if attend_mask is not None:
-        visible = jnp.logical_and(visible[None], attend_mask)
+    if per_row:
+        pos_new = start[:, None] + jnp.arange(n_new)  # (B, n_new)
+        # causal validity per row: key slot j visible if j <= q position
+        visible = key_pos[None, None, :] <= pos_new[:, :, None]  # (B,n,M)
+        if attend_mask is not None:
+            visible = jnp.logical_and(visible, attend_mask)
+        # scatter indices for the per-row K/V window write
+        in_window = jnp.logical_and(
+            key_pos[None, :] >= start[:, None],
+            key_pos[None, :] < start[:, None] + n_new,
+        )  # (B, max_len)
+        if write_mask is not None:
+            in_window = jnp.logical_and(in_window, write_mask[:, None])
+        src_idx = jnp.clip(key_pos[None, :] - start[:, None], 0, n_new - 1)
+        src_idx4 = jnp.broadcast_to(
+            src_idx[:, :, None, None], (b, max_len, h, d_k)
+        )
     else:
-        visible = jnp.broadcast_to(visible[None], (b, n_new, max_len))
+        pos_new = start + jnp.arange(n_new)  # (n_new,)
+        # causal validity: key slot j is visible if j < start + q_idx + 1
+        visible = key_pos[None, :] <= (pos_new[:, None])  # (n_new, max_len)
+        if attend_mask is not None:
+            visible = jnp.logical_and(visible[None], attend_mask)
+        else:
+            visible = jnp.broadcast_to(visible[None], (b, n_new, max_len))
 
-    if cfg.rel:
+    if cfg.rel and not per_row:
         # relative distance q - k for each (q, k)
         rel_idx = (max_len - 1) - (pos_new[:, None] - key_pos[None, :])
         rel_idx = jnp.clip(rel_idx, 0, 2 * max_len - 2)
         if rel_proj is None:
             pe_table = _rel_pos_for_step(d, max_len)  # (2*max_len-1, d)
             pe = pe_table[rel_idx]  # (n_new, max_len, d)
+    if cfg.rel and per_row:
+        # per-row distances: gather AFTER the q_v . pe projection (below),
+        # so the (2M-1) table is read once instead of per row
+        rel_idx = (max_len - 1) - (pos_new[:, :, None] - key_pos[None, None, :])
+        rel_idx = jnp.clip(rel_idx, 0, 2 * max_len - 2)  # (B, n, M)
     x = x_new
     new_k, new_v = [], []
     for li, lp in enumerate(p["layers"]):
@@ -508,12 +541,23 @@ def apply_encoder_step(
         q = _split_heads(_apply_linear(ap["q"], hdd), h)  # (B,n,H,dk)
         k_new = _split_heads(_apply_linear(ap["k"], hdd), h)
         v_new = _split_heads(_apply_linear(ap["v"], hdd), h)
-        k_cache = lax.dynamic_update_slice(
-            cache.k[li], k_new.astype(cache.k[li].dtype), (0, start, 0, 0)
-        )
-        v_cache = lax.dynamic_update_slice(
-            cache.v[li], v_new.astype(cache.v[li].dtype), (0, start, 0, 0)
-        )
+        if per_row:
+            k_scat = jnp.take_along_axis(
+                k_new.astype(cache.k[li].dtype), src_idx4, axis=1
+            )
+            v_scat = jnp.take_along_axis(
+                v_new.astype(cache.v[li].dtype), src_idx4, axis=1
+            )
+            w4 = in_window[:, :, None, None]
+            k_cache = jnp.where(w4, k_scat, cache.k[li])
+            v_cache = jnp.where(w4, v_scat, cache.v[li])
+        else:
+            k_cache = lax.dynamic_update_slice(
+                cache.k[li], k_new.astype(cache.k[li].dtype), (0, start, 0, 0)
+            )
+            v_cache = lax.dynamic_update_slice(
+                cache.v[li], v_new.astype(cache.v[li].dtype), (0, start, 0, 0)
+            )
         new_k.append(k_cache)
         new_v.append(v_cache)
 
@@ -524,12 +568,28 @@ def apply_encoder_step(
             # p-projection of the per-(q,k) relative encodings; prefer the
             # hoisted per-layer table (precompute_rel_proj) — projecting
             # inside an AR loop dominates decode time otherwise
-            if rel_proj is not None:
-                pe_p = rel_proj[li][rel_idx]  # (n_new, max_len, h, dk)
+            if per_row:
+                if rel_proj is not None:
+                    table = rel_proj[li]  # (2M-1, h, dk)
+                else:
+                    pw = ap["pos"]["w"].reshape(d, h, d_k)
+                    pe_table = _rel_pos_for_step(d, max_len)
+                    table = jnp.einsum("td,dhk->thk", pe_table, pw)
+                # project against the WHOLE distance table, then gather each
+                # row's window — O(B*h*n*(2M-1)) but table-read-once, vs a
+                # (B, n, M, h, dk) per-row pe gather that dwarfs the KV reads
+                full = jnp.einsum("bnhd,thd->bhnt", q_v, table)  # (B,h,n,2M-1)
+                idx4 = jnp.broadcast_to(
+                    rel_idx[:, None], (b, h, n_new, max_len)
+                )
+                scores_bd = jnp.take_along_axis(full, idx4, axis=-1)
             else:
-                pw = ap["pos"]["w"].reshape(d, h, d_k)
-                pe_p = jnp.einsum("nmd,dhk->nmhk", pe, pw)
-            scores_bd = jnp.einsum("bnhd,nmhd->bhnm", q_v, pe_p)
+                if rel_proj is not None:
+                    pe_p = rel_proj[li][rel_idx]  # (n_new, max_len, h, dk)
+                else:
+                    pw = ap["pos"]["w"].reshape(d, h, d_k)
+                    pe_p = jnp.einsum("nmd,dhk->nmhk", pe, pw)
+                scores_bd = jnp.einsum("bnhd,nmhd->bhnm", q_v, pe_p)
             scores = (scores_ac + scores_bd) / math.sqrt(d_k)
         else:
             scores = jnp.einsum("bnhd,bmhd->bhnm", q, k_cache) / math.sqrt(d_k)
@@ -550,7 +610,11 @@ def apply_encoder_step(
 
     if cfg.normalize_before:
         x = _apply_ln(p["after_norm"], x)
-    return x, KVCache(k=new_k, v=new_v, length=start + n_new)
+    if per_row and write_mask is not None:
+        new_len = jnp.where(write_mask, start + n_new, start)
+    else:
+        new_len = start + n_new
+    return x, KVCache(k=new_k, v=new_v, length=new_len)
 
 
 # ---------------------------------------------------------------------------

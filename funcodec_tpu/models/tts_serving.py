@@ -18,24 +18,28 @@ batching shaped for XLA's static-shape compilation model:
   * The decode loop runs in SEGMENTS of `segment_steps` iterations inside
     one `lax.while_loop` dispatch; between segments the host harvests
     finished rows and admits queued requests into freed slots.
-  * Admission writes the request's prefix into the cache window
-    [head - llm_len, head) for its slot (one `apply_encoder_step` call on a
-    single-row cache view) and sets the row's valid-key lower bound to
-    head - llm_len. All rows share the global write head, so every row's
-    occupied cache slots are CONTIGUOUS and its relative-position distances
-    are exactly those of a fresh batch-1 decode — stale keys from the
-    slot's previous occupant sit below the lower bound and are masked out
-    of every attention.
+  * Every slot has its OWN write head (`cache.length` is a (B,) vector —
+    apply_encoder_step's per-row mode): admission writes the request's
+    prefix right-aligned into its slot's window [0, prefix_budget) and the
+    row generates from prefix_budget upward, restarting at its own base.
+    Relative-position distances are therefore exactly those of a fresh
+    batch-1 decode; stale keys from the slot's previous occupant are either
+    below the row's valid-key lower bound or overwritten by this request's
+    own generation before they are causally visible.
+  * Per-slot heads make capacity MINIMAL and admission UNCONDITIONAL:
+    capacity = prefix_budget + max_new + 1 (each step attends over the
+    smallest static window that can hold any request), and a freed slot
+    re-admits immediately — no shared-head "era" whose tail drains every
+    slot before new work can start, and no head rewinds. (An earlier
+    shared-head design measured 19% extra slot-steps from era drains plus
+    1.27x slower steps from attending over a 2-4x capacity window;
+    artifacts/tts_serving_r5.json records both designs.)
   * Per-row PRNG keys reproduce `decode_codec`'s sampling stream exactly:
     a session decode of a request equals the batch-1 decode of the same
     request with the same key (tests/test_tts_serving.py).
 
-Cache capacity is a budget: a request is only admitted while
-head + max_new < capacity; when every slot is idle the head rewinds to the
-prefix budget (no zeroing needed — validity masks already exclude stale
-slots). Supports rel_pos/none position encodings (the shipped LauraTTS
-topology); split-PE needs per-row absolute positions and keeps to the
-lockstep path.
+Supports rel_pos/none position encodings (the shipped LauraTTS topology);
+split-PE needs per-row absolute positions and keeps to the lockstep path.
 """
 
 from __future__ import annotations
@@ -119,9 +123,11 @@ class LauraServingSession:
         self.B = int(num_slots)
         self.max_new = int(max_new)
         self.prefix_budget = int(prefix_budget)
+        # per-slot heads need only the single-request window; larger values
+        # are accepted (useful for A/B) but every step attends over them
         self.capacity = int(
             capacity if capacity is not None
-            else prefix_budget + 2 * (max_new + 1)
+            else prefix_budget + max_new + 1
         )
         assert self.capacity >= self.prefix_budget + self.max_new + 1
         self.sampling = sampling
@@ -134,9 +140,12 @@ class LauraServingSession:
         nq = cfg.predict_nq
         v_out = params["lm_decoder"]["w"].shape[1] // nq
         cache = init_kv_cache(lm_cfg, self.B, self.capacity, dtype=cache_dtype)
-        # head starts at the prefix budget so the first admission window
-        # [head - llm_len, head) is in range for any llm_len <= budget
-        cache = cache.replace(length=jnp.int32(self.prefix_budget))
+        # per-row heads: every slot starts at the prefix budget so the
+        # admission window [0, prefix_budget) is in range for any
+        # llm_len <= budget and generation grows from prefix_budget
+        cache = cache.replace(
+            length=jnp.full((self.B,), self.prefix_budget, jnp.int32)
+        )
         self.state = SessionState(
             cache=cache,
             logits=jnp.zeros((self.B, nq * v_out), jnp.float32),
@@ -171,14 +180,13 @@ class LauraServingSession:
                 "admit": None, "segment": None, "prefix": {}
             }
 
-        self._head = self.prefix_budget  # host mirror of cache.length
         self._queue: deque = deque()  # (uid, emb_pad, llm_len, key, cap)
         self._slot_uid: List[Optional[str]] = [None] * self.B
         self._prompts: Dict[str, np.ndarray] = {}
         self._finished: Dict[str, np.ndarray] = {}
         # utilization accounting for the A/B bench
         self.stats = {"segments": 0, "slot_steps": 0, "live_steps": 0,
-                      "emitted": 0, "resets": 0}
+                      "emitted": 0}
 
     # ------------------------------------------------------------------ API
 
@@ -225,7 +233,6 @@ class LauraServingSession:
         self.stats["segments"] += 1
         self.stats["slot_steps"] += int(steps) * self.B
         self.stats["live_steps"] += int(live_steps)
-        self._head += int(steps)
         self._harvest(live, counts)
         return self._pop_finished()
 
@@ -239,28 +246,11 @@ class LauraServingSession:
     # ----------------------------------------------------------- scheduling
 
     def _admit_ready(self) -> None:
-        head = self._head  # host-tracked: advances exactly `steps`/segment
-        # FIFO gate on the NEXT request's own cap (shorter requests fit
-        # closer to the capacity edge than max_new would allow)
-        if self._queue and head + self._queue[0][4] >= self.capacity:
-            if not any(u is not None for u in self._slot_uid):
-                # every slot idle: rewind the head — stale cache slots stay,
-                # masked out by each new row's valid-key lower bound
-                self.state = self.state.replace(
-                    cache=self.state.cache.replace(
-                        length=jnp.int32(self.prefix_budget)
-                    ),
-                    valid_key=jnp.zeros_like(self.state.valid_key),
-                )
-                self.stats["resets"] += 1
-                head = self._head = self.prefix_budget
-            else:
-                return  # finish the in-flight rows first
+        # per-slot heads: a freed slot re-admits unconditionally — every
+        # request fits its slot's own [0, prefix_budget + cap] window
         for slot in range(self.B):
             if not self._queue:
                 break
-            if head + self._queue[0][4] >= self.capacity:
-                break  # FIFO: the next request no longer fits this era
             if self._slot_uid[slot] is not None:
                 continue
             uid, emb_pad, llm_len, key, cap = self._queue.popleft()
@@ -359,8 +349,9 @@ class LauraServingSession:
         return emb_pad, llm_len
 
     def _admit(self):
-        """Jitted slot admission: prefill the request's prefix into cache
-        window [head - llm_len, head) of `slot` and arm the row."""
+        """Jitted slot admission: prefill the request's prefix right-aligned
+        into the slot's own cache window [0, prefix_budget) and arm the row
+        (per-slot heads: every request restarts at its slot's base)."""
         if self._fns["admit"] is not None:
             return self._fns["admit"]
         lm_cfg = self.lm_cfg
@@ -368,14 +359,13 @@ class LauraServingSession:
 
         def admit(params, state: SessionState, emb_pad, llm_len, slot, key,
                   cap, rel_proj):
-            g = state.cache.length
             row_cache = KVCache(
                 k=[lax.dynamic_slice_in_dim(k, slot, 1, 0) for k in state.cache.k],
                 v=[lax.dynamic_slice_in_dim(v, slot, 1, 0) for v in state.cache.v],
-                length=g - LP,
+                length=jnp.int32(0),  # scalar: single-row prefill at [0, LP)
             )
             key_pos = jnp.arange(capacity)
-            valid_row = key_pos >= (g - llm_len)  # (capacity,)
+            valid_row = key_pos >= (LP - llm_len)  # (capacity,)
             amask = jnp.broadcast_to(valid_row[None, None, :], (1, LP, capacity))
             h, row_cache = apply_encoder_step(
                 lm_cfg, params["codec_lm"], row_cache, emb_pad,
@@ -391,7 +381,8 @@ class LauraServingSession:
                     lax.dynamic_update_slice(v, rv, (slot, 0, 0, 0))
                     for v, rv in zip(state.cache.v, row_cache.v)
                 ],
-                length=g,  # admission does not advance the head
+                # this row's head restarts just past its prefix
+                length=state.cache.length.at[slot].set(LP),
             )
             zero_row = jnp.zeros((1,) + state.toks.shape[1:], state.toks.dtype)
             return state.replace(
@@ -453,7 +444,9 @@ class LauraServingSession:
                 counts = state.counts + emit.astype(jnp.int32)
                 live = jnp.logical_and(emit, counts < state.row_max)
 
-                # all rows step together (dead rows write masked junk);
+                # all rows step together, but only emitting rows WRITE their
+                # K/V and advance their own head (write_mask) — dead rows'
+                # lanes compute masked junk that never touches the cache;
                 # clamp sampled ids out of the codebook-embedding range
                 safe = jnp.where(emit[:, None], groups, 0)
                 dense = model.calc_dense_vector(
@@ -463,6 +456,7 @@ class LauraServingSession:
                 h, cache = apply_encoder_step(
                     lm_cfg, params["codec_lm"], state.cache, x,
                     attend_mask=state.valid_key[:, None, :], rel_proj=rel_proj,
+                    write_mask=emit,
                 )
                 logits = tfm._apply_linear(params["lm_decoder"], h[:, -1])
                 logits = jnp.where(

@@ -7,9 +7,14 @@ random weights never emit eos, so caps impose the realistic distribution).
 Three servers over the same workload, same 87.75M shipped LauraTTS topology:
   * lockstep-fifo:   decode_codec_batch on arrival-order batches of B; each
                      batch runs max(caps in batch) steps (rows past their cap
-                     produce discarded groups) — the pre-round-4 path.
-  * lockstep-sorted: same but batches formed after sorting by cap — the best
-                     static bucketing can do.
+                     produce discarded groups) — the pre-round-4 path, and
+                     the REALISTIC lockstep baseline: in production the
+                     generation length of a request is decided by eos DURING
+                     decoding, so batches can only form in arrival order.
+  * lockstep-sorted: same but batches formed after sorting by cap — an
+                     ORACLE bound, not a deployable scheduler: it requires
+                     knowing every request's output length before decoding
+                     it. Included as the best any static bucketing could do.
   * session:         LauraServingSession with num_slots=B — finished rows
                      free their slot mid-flight for queued requests.
 

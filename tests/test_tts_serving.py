@@ -105,8 +105,11 @@ def test_session_matches_single_decode(sampling):
     assert 0 < sess.stats["live_steps"] <= sess.stats["slot_steps"]
 
 
-def test_session_head_rewind_is_exact():
-    """Tight cache capacity forces idle rewinds; outputs stay exact."""
+def test_session_slot_reuse_minimal_capacity_exact():
+    """At the minimum window (prefix + max_new + 1, the per-slot-head
+    default) slots are reused across many requests — each re-admission
+    overwrites the previous occupant's prefix region and generates over its
+    stale K/V — and outputs stay exact."""
     model, params = _tiny_model()
     rng = np.random.RandomState(1)
     reqs = _requests(5, rng)
@@ -122,10 +125,10 @@ def test_session_head_rewind_is_exact():
         sess.submit(uid, text, key, prompt=prompt)
     out = sess.drain()
 
-    assert sess.stats["resets"] >= 1, "capacity never forced a rewind"
+    assert set(out) == {r[0] for r in reqs}
     for uid in out:
         np.testing.assert_array_equal(
-            out[uid], singles[uid], err_msg=f"{uid} diverged after rewind"
+            out[uid], singles[uid], err_msg=f"{uid} diverged on slot reuse"
         )
 
 
