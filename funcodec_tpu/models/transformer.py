@@ -507,10 +507,11 @@ def apply_encoder_step(
         )  # (B, max_len)
         if write_mask is not None:
             in_window = jnp.logical_and(in_window, write_mask[:, None])
-        src_idx = jnp.clip(key_pos[None, :] - start[:, None], 0, n_new - 1)
-        src_idx4 = jnp.broadcast_to(
-            src_idx[:, :, None, None], (b, max_len, h, d_k)
-        )
+        if n_new > 1:
+            src_idx = jnp.clip(key_pos[None, :] - start[:, None], 0, n_new - 1)
+            src_idx4 = jnp.broadcast_to(
+                src_idx[:, :, None, None], (b, max_len, h, d_k)
+            )
     else:
         pos_new = start + jnp.arange(n_new)  # (n_new,)
         # causal validity: key slot j is visible if j < start + q_idx + 1
@@ -532,6 +533,13 @@ def apply_encoder_step(
         # so the (2M-1) table is read once instead of per row
         rel_idx = (max_len - 1) - (pos_new[:, :, None] - key_pos[None, None, :])
         rel_idx = jnp.clip(rel_idx, 0, 2 * max_len - 2)  # (B, n, M)
+        # the window select is a one-hot CONTRACTION, not a take_along_axis:
+        # a (B,h,n,M)-indexed generic gather measured ~19 us per key
+        # position per step on v5e (3x the whole rest of the step); the
+        # one-hot rides the MXU and is built once for all layers
+        rel_onehot = (
+            rel_idx[..., None] == jnp.arange(2 * max_len - 1)
+        ).astype(x_new.dtype)  # (B, n, M, 2M-1)
     x = x_new
     new_k, new_v = [], []
     for li, lp in enumerate(p["layers"]):
@@ -542,12 +550,24 @@ def apply_encoder_step(
         k_new = _split_heads(_apply_linear(ap["k"], hdd), h)
         v_new = _split_heads(_apply_linear(ap["v"], hdd), h)
         if per_row:
-            k_scat = jnp.take_along_axis(
-                k_new.astype(cache.k[li].dtype), src_idx4, axis=1
-            )
-            v_scat = jnp.take_along_axis(
-                v_new.astype(cache.v[li].dtype), src_idx4, axis=1
-            )
+            if n_new == 1:
+                # the AR-decode case: every window element IS the new token —
+                # a broadcast, not a gather (a (B, M, H, dk)-indexed
+                # take_along_axis lowers to a generic XLA gather that
+                # measured ~200x slower than the rest of the step on TPU)
+                k_scat = jnp.broadcast_to(
+                    k_new.astype(cache.k[li].dtype), (b, max_len, h, d_k)
+                )
+                v_scat = jnp.broadcast_to(
+                    v_new.astype(cache.v[li].dtype), (b, max_len, h, d_k)
+                )
+            else:
+                k_scat = jnp.take_along_axis(
+                    k_new.astype(cache.k[li].dtype), src_idx4, axis=1
+                )
+                v_scat = jnp.take_along_axis(
+                    v_new.astype(cache.v[li].dtype), src_idx4, axis=1
+                )
             w4 = in_window[:, :, None, None]
             k_cache = jnp.where(w4, k_scat, cache.k[li])
             v_cache = jnp.where(w4, v_scat, cache.v[li])
@@ -575,14 +595,12 @@ def apply_encoder_step(
                     pw = ap["pos"]["w"].reshape(d, h, d_k)
                     pe_table = _rel_pos_for_step(d, max_len)
                     table = jnp.einsum("td,dhk->thk", pe_table, pw)
-                # project against the WHOLE distance table, then gather each
-                # row's window — O(B*h*n*(2M-1)) but table-read-once, vs a
-                # (B, n, M, h, dk) per-row pe gather that dwarfs the KV reads
+                # project against the WHOLE distance table, then select each
+                # row's window with the precomputed one-hot — table-read-once
+                # and MXU-only, vs a (B, n, M, h, dk) per-row pe gather that
+                # dwarfs the KV reads
                 full = jnp.einsum("bnhd,thd->bhnt", q_v, table)  # (B,h,n,2M-1)
-                idx4 = jnp.broadcast_to(
-                    rel_idx[:, None], (b, h, n_new, max_len)
-                )
-                scores_bd = jnp.take_along_axis(full, idx4, axis=-1)
+                scores_bd = jnp.einsum("bhnt,bnmt->bhnm", full, rel_onehot)
             else:
                 if rel_proj is not None:
                     pe_p = rel_proj[li][rel_idx]  # (n_new, max_len, h, dk)

@@ -227,13 +227,17 @@ class LauraServingSession:
         self.state, steps, live_steps = self._segment()(
             self.params, self.state, self._rel_proj
         )
-        live, counts, steps, live_steps = jax.device_get(
-            (self.state.live, self.state.counts, steps, live_steps)
+        # ONE host sync per tick: the token buffer rides along with the
+        # scalars (50 KB) instead of a second device_get in _harvest — on a
+        # tunneled host each extra sync is a full RTT
+        live, counts, steps, live_steps, toks = jax.device_get(
+            (self.state.live, self.state.counts, steps, live_steps,
+             self.state.toks)
         )
         self.stats["segments"] += 1
         self.stats["slot_steps"] += int(steps) * self.B
         self.stats["live_steps"] += int(live_steps)
-        self._harvest(live, counts)
+        self._harvest(live, counts, toks)
         return self._pop_finished()
 
     def drain(self) -> Dict[str, np.ndarray]:
@@ -260,17 +264,19 @@ class LauraServingSession:
             )
             self._slot_uid[slot] = uid
 
-    def _harvest(self, live: np.ndarray, counts: np.ndarray) -> None:
+    def _harvest(
+        self, live: np.ndarray, counts: np.ndarray, toks: np.ndarray
+    ) -> None:
         done_slots = [
             s for s in range(self.B)
             if self._slot_uid[s] is not None and not live[s]
         ]
         if not done_slots:
             return
-        # fetch the whole buffer and slice on host: a device-side fancy
-        # gather bakes the index VALUES into the program, so every distinct
-        # done-slot combination would be a fresh (remote) compile
-        toks = np.asarray(jax.device_get(self.state.toks))
+        # host-side slicing of the already-fetched buffer: a device-side
+        # fancy gather would bake the index VALUES into the program, so every
+        # distinct done-slot combination would be a fresh (remote) compile
+        toks = np.asarray(toks)
         for s in done_slots:
             uid = self._slot_uid[s]
             gen = toks[s, : counts[s]]

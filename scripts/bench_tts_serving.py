@@ -120,27 +120,35 @@ def main():
         log(f"warmed lockstep signature B={nb} max_length={bm} "
             f"({time.perf_counter()-t0:.0f}s)")
 
+    REPS = int(os.environ.get("TS_REPS", 3))  # tunnel walls vary ~15% run to
+    # run; best-of-N is the repo's measurement discipline (NOTES_ROUND4)
     for tag, plan in plans.items():
-        total_wall = 0.0
-        padded_steps = 0
-        for idx, batch_max in plan:
-            tb = jnp.asarray(np.stack([texts[j] for j in idx]))
-            if DTYPE == "bf16":
-                tb = tb.astype(jnp.bfloat16)
-            tl = jnp.asarray([LT] * len(idx))
-            t0 = time.perf_counter()
-            model.decode_codec_batch(
-                params, tb, tl, max_length=batch_max, sampling=False,
-                key=jax.random.PRNGKey(9),
-            )
-            total_wall += time.perf_counter() - t0
-            padded_steps += batch_max * len(idx)
+        walls = []
+        for _ in range(REPS):
+            total_wall = 0.0
+            padded_steps = 0
+            for idx, batch_max in plan:
+                tb = jnp.asarray(np.stack([texts[j] for j in idx]))
+                if DTYPE == "bf16":
+                    tb = tb.astype(jnp.bfloat16)
+                tl = jnp.asarray([LT] * len(idx))
+                t0 = time.perf_counter()
+                model.decode_codec_batch(
+                    params, tb, tl, max_length=batch_max, sampling=False,
+                    key=jax.random.PRNGKey(9),
+                )
+                total_wall += time.perf_counter() - t0
+                padded_steps += batch_max * len(idx)
+            walls.append(total_wall)
+        total_wall = min(walls)
         rate = useful / total_wall
-        log(f"{tag}: wall {total_wall:.2f}s -> {rate:.1f} useful groups/s "
-            f"({rate/25:.1f}x realtime), slot-steps {padded_steps} "
+        log(f"{tag}: wall best-of-{REPS} {total_wall:.2f}s "
+            f"(all {[round(w, 2) for w in walls]}) -> {rate:.1f} useful "
+            f"groups/s ({rate/25:.1f}x realtime), slot-steps {padded_steps} "
             f"(waste {1 - useful/padded_steps:.1%})")
         results[f"{tag}_groups_per_s"] = rate
         results[f"{tag}_wall_s"] = total_wall
+        results[f"{tag}_wall_s_reps"] = walls
         results[f"{tag}_waste"] = 1 - useful / padded_steps
 
     # --- continuous batching session (sweep segment sizes and KV-cache
@@ -160,24 +168,28 @@ def main():
         # compile admit+segment+prefix off the clock with one throwaway req
         sess.submit("warm", texts[0], jax.random.PRNGKey(1), max_new=CAP_LO)
         sess.drain()
-        sess.stats = {k: 0 for k in sess.stats}
 
-        t0 = time.perf_counter()
-        for i in range(N_REQ):
-            sess.submit(f"u{i}", texts[i], jax.random.PRNGKey(100 + i),
-                        max_new=int(caps[i]))
-        out = sess.drain()
-        wall = time.perf_counter() - t0
-        got = sum(v.shape[0] for v in out.values())
-        # greedy on random weights never emits eos, so lengths == caps
-        # exactly and both modes do identical per-request work (tiny smoke
-        # models can argmax onto eos; tolerate there)
-        assert len(out) == N_REQ, len(out)
-        if not TINY:
-            assert got == useful, (got, useful)
+        walls = []
+        for _ in range(REPS):
+            sess.stats = {k: 0 for k in sess.stats}
+            t0 = time.perf_counter()
+            for i in range(N_REQ):
+                sess.submit(f"u{i}", texts[i], jax.random.PRNGKey(100 + i),
+                            max_new=int(caps[i]))
+            out = sess.drain()
+            walls.append(time.perf_counter() - t0)
+            got = sum(v.shape[0] for v in out.values())
+            # greedy on random weights never emits eos, so lengths == caps
+            # exactly and both modes do identical per-request work (tiny
+            # smoke models can argmax onto eos; tolerate there)
+            assert len(out) == N_REQ, len(out)
+            if not TINY:
+                assert got == useful, (got, useful)
+        wall = min(walls)
         util = sess.stats["live_steps"] / max(sess.stats["slot_steps"], 1)
         rate = useful / wall
-        log(f"session seg={seg} cap_mult={cap_mult}: wall {wall:.2f}s -> "
+        log(f"session seg={seg} cap_mult={cap_mult}: wall best-of-{REPS} "
+            f"{wall:.2f}s (all {[round(w, 2) for w in walls]}) -> "
             f"{rate:.1f} useful groups/s ({rate/25:.1f}x realtime), "
             f"slot util {util:.1%}, stats {sess.stats}")
         key = f"session_seg{seg}" + (
@@ -185,6 +197,7 @@ def main():
         )
         results[f"{key}_groups_per_s"] = rate
         results[f"{key}_wall_s"] = wall
+        results[f"{key}_wall_s_reps"] = walls
         results[f"{key}_slot_util"] = util
         # compile-boundedness evidence (VERDICT r4 next #2): every request
         # in this workload shares one bucketed prefix signature
