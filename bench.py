@@ -249,8 +249,12 @@ def main():
     # acceptance contract (BASELINE.json): STOI drop <=0.01, SI-SNR drop
     # <=0.5 dB, LSD increase <=0.1 dB. Absent or failing artifact -> the
     # honest headline is the fp32 bit-exact path.
-    qa = _artifact("quality_adjudication_r4.json") or _artifact(
-        "quality_adjudication_r3.json")
+    # prefer the round-5 adjudication: measured on a from-scratch checkpoint
+    # trained under the SHIPPED recipe default (kmeans init + effective
+    # expiry, all 32k codes live) rather than round 4's sick-codebook run
+    qa = (_artifact("quality_adjudication_r5.json")
+          or _artifact("quality_adjudication_r4.json")
+          or _artifact("quality_adjudication_r3.json"))
     bf16_ok = False
     if qa and "worst_degradation" in qa:
         w = qa["worst_degradation"]
