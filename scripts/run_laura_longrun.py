@@ -171,10 +171,13 @@ def train(root: Path, exp: Path, codec_dir: Path, max_epoch: int,
         open("egs/LibriTTS/text2speech_laura/conf/"
              "text2audio_codec_lm_nq2_uni_rel_pos.yaml")
     )
-    # corpus-scale schedule: ~70 steps/epoch, so the recipe's 10k-step warmup
-    # would never finish warming; everything else is the shipped topology
+    # corpus-scale schedule: the recipe's batch_bins 10240 packs this
+    # corpus's ~2 s utterances into ~6 batches/epoch and its 10k-step warmup
+    # would never finish warming; bins 2560 gives ~25 steps/epoch at the
+    # same topology. Everything else is the shipped config.
     cfg["max_epoch"] = max_epoch
-    cfg["scheduler_conf"] = {"warmup_steps": 400}
+    cfg["batch_bins"] = 2560
+    cfg["scheduler_conf"] = {"warmup_steps": 100}
     cfg["keep_nbest_models"] = max_epoch
     cfg["log_interval"] = 20
     conf = exp / "train_conf.yaml"
