@@ -364,6 +364,13 @@ class Encodec:
         shared-forward train step (train/step.py) can reuse one
         encode->RVQ->decode for both optimizer turns."""
         cfg = self.cfg
+        # recon/mel losses assemble in fp32, but the adversarial branches run
+        # the discriminator in the caller's compute dtype: the fp32 upcast
+        # here used to drag the gen-turn disc to fp32 against a bf16 disc
+        # turn — 178 ms/step of f32 disc convs at B=64 and a spurious
+        # real-vs-fake dtype cue for the discriminator to learn
+        # (artifacts/trace_train_b64_r5.json, disc_conv_dtype_split).
+        disc_in_dtype = recon.dtype
         recon = recon.astype(jnp.float32)
 
         recon_loss = jnp.mean(jnp.abs(orig - recon))
@@ -376,17 +383,28 @@ class Encodec:
         # adversarial + feature-matching (codec_basic.py:545-562). The
         # discriminator of the real signal carries no gradient (torch.no_grad).
         disc_params_sg = jax.tree_util.tree_map(lax.stop_gradient, disc_params)
-        fake_outs = discriminator(disc_params_sg, recon, precision=precision)
+        fake_outs = discriminator(
+            disc_params_sg, recon.astype(disc_in_dtype), precision=precision
+        )
         real_outs = discriminator(
-            disc_params_sg, lax.stop_gradient(orig), precision=precision
+            disc_params_sg,
+            lax.stop_gradient(orig).astype(disc_in_dtype),
+            precision=precision,
         )
         adv_losses, feat_losses = [], []
         fm_start = getattr(cfg, "feat_match_layer_start", -1)
         for (real_logits, real_fmap), (fake_logits, fake_fmap) in zip(real_outs, fake_outs):
-            adv_losses.append(jnp.mean(jax.nn.relu(1.0 - fake_logits)))
+            adv_losses.append(
+                jnp.mean(jax.nn.relu(1.0 - fake_logits.astype(jnp.float32)))
+            )
             for li, (rf, ff) in enumerate(zip(real_fmap, fake_fmap)):
                 if li >= fm_start:  # codec_freq.py:530-532 (default -1 = all)
-                    feat_losses.append(jnp.mean(jnp.abs(lax.stop_gradient(rf) - ff)))
+                    # diff in the disc dtype (a second fp32 pass over the fmaps
+                    # would double the bytes of the biggest loss term); the
+                    # mean accumulates in fp32
+                    feat_losses.append(jnp.mean(
+                        jnp.abs(lax.stop_gradient(rf) - ff).astype(jnp.float32)
+                    ))
         adversarial_loss = jnp.mean(jnp.stack(adv_losses))
         feat_match_loss = jnp.mean(jnp.stack(feat_losses))
 
@@ -463,8 +481,11 @@ class Encodec:
         recon, aux = self._reconstruct(
             gen_params_sg, rvq_state, speech, key, precision=precision, training=training
         )
-        orig = speech.astype(jnp.float32)
-        fake = lax.stop_gradient(recon.astype(jnp.float32))
+        # disc inputs stay in the compute dtype (see the _generator_losses
+        # note: a caller-side fp32 upcast doubles the disc tower's bytes and
+        # hands it a real-vs-fake dtype cue)
+        orig = speech.astype(recon.dtype)
+        fake = lax.stop_gradient(recon)
         loss, out = self._discriminator_losses(
             disc_params, discriminator, orig, fake, gen_loss_carry, aug_key,
             training=training, precision=precision,
@@ -486,8 +507,8 @@ class Encodec:
         disc_losses = []
         for (real_logits, _), (fake_logits, _) in zip(real_outs, fake_outs):
             disc_losses.append(
-                jnp.mean(jax.nn.relu(1.0 - real_logits))
-                + jnp.mean(jax.nn.relu(1.0 + fake_logits))
+                jnp.mean(jax.nn.relu(1.0 - real_logits.astype(jnp.float32)))
+                + jnp.mean(jax.nn.relu(1.0 + fake_logits.astype(jnp.float32)))
             )
         disc_loss = jnp.mean(jnp.stack(disc_losses))
 

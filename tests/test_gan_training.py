@@ -128,3 +128,53 @@ def test_segmented_encode_decode():
     out = model.inference(params, rvq_state, speech)
     assert out["recon_speech"].shape == (1, 1200)
     assert len(out["code_indices"]) == len(model._segments(1200))
+
+
+def _walk_conv_dtypes(jaxpr, counts):
+    """Count conv_general_dilated output dtypes through sub-jaxprs."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "conv_general_dilated":
+            dt = str(eqn.outvars[0].aval.dtype)
+            counts[dt] = counts.get(dt, 0) + 1
+        for v in eqn.params.values():
+            vals = v if isinstance(v, (list, tuple)) else [v]
+            for sub in vals:
+                if hasattr(sub, "jaxpr"):
+                    _walk_conv_dtypes(sub.jaxpr, counts)
+                elif hasattr(sub, "eqns"):
+                    _walk_conv_dtypes(sub, counts)
+    return counts
+
+
+def test_bf16_step_has_no_f32_convs():
+    """Under compute_dtype=bf16 every conv in the shared GAN step — codec
+    AND both discriminator branches in both turns — must be bf16. The real
+    branch used to inherit fp32 from the loss-side upcast of `orig`
+    (encodec.py), which cost 178 ms/step of f32 disc convs at B=64 and
+    handed the discriminator a real-vs-fake dtype cue
+    (artifacts/trace_train_b64_r5.json, disc_conv_dtype_split)."""
+    model, disc = _tiny_setup()
+    params, rvq_state = model.init(jax.random.PRNGKey(0))
+    disc_params = disc.init(jax.random.PRNGKey(1))
+    opt_g = make_optimizer(lr=1e-3)
+    opt_d = make_optimizer(lr=1e-3)
+    state = create_gan_train_state(params, disc_params, rvq_state, opt_g, opt_d)
+    speech = jnp.asarray(
+        np.random.RandomState(0).randn(2, 1024).astype(np.float32) * 0.3
+    )
+    rng = jax.random.PRNGKey(7)
+
+    def counts_for(dtype):
+        step = make_gan_train_step(
+            model, disc, opt_g, opt_d, compute_dtype=dtype, shared_forward=True
+        )
+        jaxpr = jax.make_jaxpr(step)(state, {"speech": speech}, rng)
+        return _walk_conv_dtypes(jaxpr.jaxpr, {})
+
+    bf16_counts = counts_for(jnp.bfloat16)
+    assert bf16_counts.get("bfloat16", 0) > 0
+    assert bf16_counts.get("float32", 0) == 0, bf16_counts
+
+    fp32_counts = counts_for(jnp.float32)
+    assert fp32_counts.get("float32", 0) > 0
+    assert fp32_counts.get("bfloat16", 0) == 0, fp32_counts
