@@ -25,57 +25,65 @@ from funcodec_tpu.ops.stft import stft
 
 
 # Experiment flag (pattern: conv.PALLAS_STRIDE1, seanet.REMAT_RESBLOCKS):
-# run the STFT-disc conv tower in a frequency space-to-depth layout — adjacent
-# F-bin pairs folded into channels (C 32->64) — so the convs contract over a
-# denser channel dim on the 128-lane MXU. Numerics: logits match the plain
-# path to fp tolerance; fmaps come back blocked but pre-scaled so that
-# mean(|r-f|) over them equals the plain path exactly (see _call_blocked).
-# Trace motivation: artifacts/trace_train_b64_r5.json (disc tower = 56% of
-# the B=64 train step at 200 GB/s, <=21% MXU).
-BLOCKED_F = False
+# run the STFT-disc conv tower in a frequency space-to-depth layout — groups
+# of BLOCK_F_N adjacent F bins folded into channels (C 32 -> 32*n) — so the
+# convs contract over a denser channel dim on the 128-lane MXU. Numerics:
+# logits match the plain path to fp tolerance; fmaps come back blocked but
+# pre-scaled so that mean(|r-f|) over them equals the plain path exactly
+# (see _call_blocked). Trace motivation: artifacts/trace_train_b64_r5.json
+# (disc tower = 56% of the B=64 train step at 200 GB/s, <=21% MXU).
+# Default ON after the chip A/B n-sweep (artifacts/blocked_disc_ab_r5.json):
+# at B=64 bf16 the shared GAN step is 465.7 ms plain, 406.6 ms n=2 (1.14x),
+# 310.9 ms n=4 (1.50x — 4*32 = 128-channel contractions fill the MXU lanes).
+# Exactness across n is pinned in tests/test_disc_blocked.py.
+BLOCKED_F = True
+BLOCK_F_N = 4
 
 
 def _pair(x):
     return (x, x) if isinstance(x, int) else tuple(x)
 
 
-def _block2_kernel(w: jnp.ndarray, stride_f: int, pf: int):
-    """Rewrite a (kt,kf,ci,co) F-conv kernel for block-2 space-to-depth.
+def _blockn_kernel(w: jnp.ndarray, stride_f: int, pf: int, n: int):
+    """Rewrite a (kt,kf,ci,co) F-conv kernel for block-n space-to-depth.
 
-    In blocked layout x_b[..., g, si*ci+c] = x[..., 2g+si, c]; output likewise
-    (so*co+o at bin 2g'+so). Original: y[f] reads x[stride_f*f - pf + j].
-    With f=2g'+so and input block b = stride_f*g' + (kb - pbl):
-        j = 2*(kb - pbl) + si - stride_f*so + pf
-    Returns (w_b (kt, width, 2ci, 2co), pbl, pbr) where [pbl, pbr] is the
-    asymmetric block-axis padding replacing the original (pf, pf).
+    In blocked layout x_b[..., g, si*ci+c] = x[..., n*g+si, c]; output
+    likewise (so*co+o at bin n*g'+so). Original: y[f] reads
+    x[stride_f*f - pf + j]. With f = n*g'+so and input block
+    b = stride_f*g' + (kb - pbl):
+        j = n*(kb - pbl) + si - stride_f*so + pf
+    Returns (w_b (kt, width, n*ci, n*co), pbl, kbp_max) where pbl is the
+    left block-axis padding replacing the original (pf, pf) and kbp_max the
+    largest relative block offset (the caller derives the right pad from it).
     """
     kt, kf, ci, co = w.shape
     # valid relative block offsets kbp = kb - pbl
     offs = []
-    for kbp in range(-(pf + 2), pf + 3):
+    for kbp in range(-(pf + n), pf + n + 1):
         ok = any(
-            0 <= 2 * kbp + si - stride_f * so + pf <= kf - 1
-            for si in (0, 1)
-            for so in (0, 1)
+            0 <= n * kbp + si - stride_f * so + pf <= kf - 1
+            for si in range(n)
+            for so in range(n)
         )
         if ok:
             offs.append(kbp)
     pbl, kbp_max = -offs[0], offs[-1]
     width = kbp_max + pbl + 1
-    w_b = jnp.zeros((kt, width, 2 * ci, 2 * co), w.dtype)
+    w_b = jnp.zeros((kt, width, n * ci, n * co), w.dtype)
     for kb in range(width):
         kbp = kb - pbl
-        for si in (0, 1):
-            for so in (0, 1):
-                j = 2 * kbp + si - stride_f * so + pf
+        for si in range(n):
+            for so in range(n):
+                j = n * kbp + si - stride_f * so + pf
                 if 0 <= j <= kf - 1:
                     w_b = w_b.at[:, kb, si * ci:(si + 1) * ci,
                                  so * co:(so + 1) * co].set(w[:, j])
-    # right pad: the last output block's deepest read must be covered.
-    # Output blocks run g' = 0..Gb-1 over Nb input blocks; we need
-    # stride_f*(Gb-1) + kbp_max - pbl + pbl <= Nb - 1 + pbr  — computed by
-    # the caller from shapes; kbp_max is what it needs:
     return w_b, pbl, kbp_max
+
+
+def _block2_kernel(w: jnp.ndarray, stride_f: int, pf: int):
+    """Back-compat alias for the n=2 kernel rewrite."""
+    return _blockn_kernel(w, stride_f, pf, 2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,22 +137,24 @@ def apply_plain_conv2d(spec: PlainConv2dSpec, params, x: jnp.ndarray, precision=
 
 
 def apply_plain_conv2d_blocked(
-    spec: PlainConv2dSpec, params, xb: jnp.ndarray, f_in: int, precision=None
+    spec: PlainConv2dSpec, params, xb: jnp.ndarray, f_in: int, n: int = 2,
+    precision=None,
 ):
     """Blocked-F equivalent of apply_plain_conv2d.
 
-    xb: (B, T, Nb, 2*C_in) where bin 2g+si lives at channel si*C_in+c and
-    logical bins >= f_in are zero. Returns (yb (B, T, Gb, 2*C_out), f_out)
-    with the same convention (caller masks the garbage sub-bin if f_out odd).
+    xb: (B, T, Nb, n*C_in) where bin n*g+si lives at channel si*C_in+c and
+    logical bins >= f_in are zero. Returns (yb (B, T, Gb, n*C_out), f_out)
+    with the same convention (caller masks the garbage sub-bins when
+    f_out % n != 0).
     """
     assert spec.dilation[1] == 1, "blocked path assumes no F dilation"
     kernel = fused_kernel(params).astype(xb.dtype)
     kt, kf, ci, co = kernel.shape
     pt, pf = spec.padding
     st, sf = spec.stride
-    w_b, pbl, kbp_max = _block2_kernel(kernel, sf, pf)
+    w_b, pbl, kbp_max = _blockn_kernel(kernel, sf, pf, n)
     f_out = (f_in + 2 * pf - kf) // sf + 1
-    gb = (f_out + 1) // 2
+    gb = -(-f_out // n)
     nb_in = xb.shape[2]
     pbr = max(0, sf * (gb - 1) + kbp_max - (nb_in - 1))
     y = lax.conv_general_dilated(
@@ -156,7 +166,7 @@ def apply_plain_conv2d_blocked(
     )
     y = y[:, :, :gb]
     bias = params["bias"]
-    return y + jnp.concatenate([bias, bias]).astype(y.dtype), f_out
+    return y + jnp.tile(bias, n).astype(y.dtype), f_out
 
 
 def avg_pool2d_4s2p1(x: jnp.ndarray) -> jnp.ndarray:
@@ -270,38 +280,42 @@ class DiscriminatorSTFT:
         return logits, fmap
 
     def _call_blocked(self, params, z: jnp.ndarray, precision=None):
-        """Blocked-F tower: the conv stack runs at 2x channel density
-        (adjacent F-bin pairs folded into channels), the post conv runs on
-        the unblocked tensor so logits match the plain path to fp tolerance.
+        """Blocked-F tower: the conv stack runs at n-times channel density
+        (groups of BLOCK_F_N adjacent F bins folded into channels), the post
+        conv runs on the unblocked tensor so logits match the plain path to
+        fp tolerance.
 
         fmaps are returned IN BLOCKED LAYOUT, pre-scaled by
         padded_bins/valid_bins per layer: the losses only ever take
         mean(|r - f|) over fmap pairs (encodec.py feat-match, PIT), which is
         layout-invariant, and the scale corrects the mean's divisor for the
-        zeroed garbage sub-bin — so loss values equal the plain path's.
+        zeroed garbage sub-bins — so loss values equal the plain path's.
         """
+        n = BLOCK_F_N
         B, T, F, C = z.shape
-        nb = (F + 1) // 2
-        if 2 * nb > F:
-            z = jnp.pad(z, ((0, 0), (0, 0), (0, 2 * nb - F), (0, 0)))
-        zb = z.reshape(B, T, nb, 2 * C)
+        nb = -(-F // n)
+        if n * nb > F:
+            z = jnp.pad(z, ((0, 0), (0, 0), (0, n * nb - F), (0, 0)))
+        zb = z.reshape(B, T, nb, n * C)
         f_log = F
         fmap = []
         for spec, p in zip(self.conv_specs, params["convs"]):
             zb, f_log = apply_plain_conv2d_blocked(
-                spec, p, zb, f_log, precision=precision
+                spec, p, zb, f_log, n=n, precision=precision
             )
             zb = leaky_relu(zb, self.slope)
             gb, cb = zb.shape[2], zb.shape[3]
-            if 2 * gb > f_log:  # zero the garbage sub-bin (bin f_log)
-                mask = jnp.ones((gb, cb), zb.dtype).at[-1, cb // 2:].set(0)
+            valid = f_log - n * (gb - 1)  # valid sub-bins in the last block
+            if valid < n:  # zero the garbage sub-bins (bins >= f_log)
+                mask = jnp.ones((gb, cb), zb.dtype)
+                mask = mask.at[-1, valid * (cb // n):].set(0)
                 zb = zb * mask
-                fmap.append(zb * jnp.asarray(2 * gb / f_log, zb.dtype))
+                fmap.append(zb * jnp.asarray(n * gb / f_log, zb.dtype))
             else:
                 fmap.append(zb)
-        # unblock + slice for the post conv: channel si*co+c -> bin 2g+si
+        # unblock + slice for the post conv: channel si*co+c -> bin n*g+si
         gb, cb = zb.shape[2], zb.shape[3]
-        z = zb.reshape(B, zb.shape[1], 2 * gb, cb // 2)[:, :, :f_log]
+        z = zb.reshape(B, zb.shape[1], n * gb, cb // n)[:, :, :f_log]
         logits = apply_plain_conv2d(
             self.post_spec, params["conv_post"], z, precision=precision
         )

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--dur_s", type=float, default=2.56)
+    ap.add_argument("--block_ns", type=str, default="2,4",
+                    help="comma list of block sizes; 0 (plain) always runs")
     args = ap.parse_args()
 
     import jax
@@ -67,8 +69,12 @@ def main():
 
     results = {"batch": B, "t_samples": T, "steps": args.steps,
                "compute_dtype": "bfloat16"}
-    for name, blocked in (("plain", False), ("blocked_f", True)):
-        D.BLOCKED_F = blocked
+    arms = [("plain", 0)] + [
+        (f"blocked_f{n}", int(n)) for n in args.block_ns.split(",") if int(n)
+    ]
+    for name, block_n in arms:
+        D.BLOCKED_F = block_n > 0
+        D.BLOCK_F_N = max(block_n, 2)
         state = create_gan_train_state(
             params, disc_params, rvq_state, opt_g, opt_d)
         step = jax.jit(make_gan_train_step(
@@ -94,13 +100,22 @@ def main():
         del state, step
 
     sp = results["plain"]["steady_ms_per_step"]
-    sb = results["blocked_f"]["steady_ms_per_step"]
-    results["speedup_blocked_over_plain"] = round(sp / sb, 3)
+    for name, _ in arms[1:]:
+        sb = results[name]["steady_ms_per_step"]
+        results[f"speedup_{name}_over_plain"] = round(sp / sb, 3)
     log(json.dumps(results))
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "blocked_disc_ab_r5.json")
+    # merge into an existing artifact (so n-sweeps can run incrementally)
+    merged = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+        if merged.get("batch") != B or merged.get("steps") != args.steps:
+            merged = {}
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     log(f"wrote {out}")
 
 

@@ -25,30 +25,32 @@ def disc_and_params():
     return disc, params
 
 
-def _run(disc, params, x, blocked):
-    old = D.BLOCKED_F
-    D.BLOCKED_F = blocked
+def _run(disc, params, x, blocked, n=2):
+    old, old_n = D.BLOCKED_F, D.BLOCK_F_N
+    D.BLOCKED_F, D.BLOCK_F_N = blocked, n
     try:
         return disc(params, x)
     finally:
-        D.BLOCKED_F = old
+        D.BLOCKED_F, D.BLOCK_F_N = old, old_n
 
 
 def _unblock(fb, plain):
     """Invert the blocked-fmap convention against the plain fmap's shape."""
     B, T, f_log, co = plain.shape
     gb = fb.shape[2]
-    scale = (2 * gb) / f_log
-    fb = (fb / scale).reshape(B, T, 2 * gb, co)[:, :, :f_log]
+    n = fb.shape[3] // co
+    scale = (n * gb) / f_log
+    fb = (fb / scale).reshape(B, T, n * gb, co)[:, :, :f_log]
     return fb
 
 
-def test_blocked_logits_and_fmaps_match_plain(disc_and_params):
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_blocked_logits_and_fmaps_match_plain(disc_and_params, n):
     disc, params = disc_and_params
     x = jnp.asarray(np.random.RandomState(0).randn(2, 16000), jnp.float32) * 0.1
 
     outs_p = _run(disc, params, x, blocked=False)
-    outs_b = _run(disc, params, x, blocked=True)
+    outs_b = _run(disc, params, x, blocked=True, n=n)
     assert len(outs_p) == len(outs_b) == 3
     for (lp, fp), (lb, fb) in zip(outs_p, outs_b):
         np.testing.assert_allclose(lp, lb, rtol=2e-4, atol=2e-5)
@@ -57,7 +59,8 @@ def test_blocked_logits_and_fmaps_match_plain(disc_and_params):
             np.testing.assert_allclose(_unblock(b, p), p, rtol=2e-4, atol=2e-5)
 
 
-def test_blocked_fmap_means_match_losses(disc_and_params):
+@pytest.mark.parametrize("n", [2, 4])
+def test_blocked_fmap_means_match_losses(disc_and_params, n):
     """mean(|r-f|) per fmap — the feat-match/PIT consumption — is exact."""
     disc, params = disc_and_params
     rng = np.random.RandomState(1)
@@ -65,8 +68,8 @@ def test_blocked_fmap_means_match_losses(disc_and_params):
     fake = jnp.asarray(rng.randn(2, 16000), jnp.float32) * 0.1
 
     def fmap_means(blocked):
-        ro = _run(disc, params, real, blocked)
-        fo = _run(disc, params, fake, blocked)
+        ro = _run(disc, params, real, blocked, n=n)
+        fo = _run(disc, params, fake, blocked, n=n)
         means = []
         for (_, rf), (_, ff) in zip(ro, fo):
             for r, f in zip(rf, ff):
@@ -109,6 +112,11 @@ def test_blocked_kernel_widths():
     w3 = jnp.asarray(np.random.RandomState(4).randn(3, 3, 32, 32), jnp.float32)
     wb, pbl, kbp_max = D._block2_kernel(w3, stride_f=1, pf=1)
     assert wb.shape == (3, 3, 64, 64) and (pbl, kbp_max) == (1, 1)
+    # block-4: (3,9) kernels contract over 4*32 = 128 channels (full MXU lanes)
+    wb, pbl, kbp_max = D._blockn_kernel(w, stride_f=2, pf=4, n=4)
+    assert wb.shape[0] == 3 and wb.shape[2:] == (128, 128)
+    wb, pbl, kbp_max = D._blockn_kernel(w, stride_f=1, pf=4, n=4)
+    assert wb.shape[2:] == (128, 128)
 
 
 def test_blocked_full_gan_step_matches_plain():
